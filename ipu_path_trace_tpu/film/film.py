@@ -1,0 +1,75 @@
+"""HDR film accumulation and tone mapping.
+
+TPU-native equivalent of AccumulatedImage
+(reference: src/AccumulatedImage.cpp).  The film is RGB float32 (the
+reference stores BGR because of OpenCV; we keep RGB and convert at the
+image writers).  Accumulation semantics match exactly:
+
+  hdr[v, u] += rgb / sampleCount        per step  (AccumulatedImage.cpp:59-74)
+  save: hdr / step                                (AccumulatedImage.cpp:48-56)
+  tone map: (x * 2^exposure)^(1/gamma) -> 8 bit   (AccumulatedImage.cpp:23-46)
+
+If the native host runtime (csrc/) is built, the OpenMP C++ kernels are
+used; otherwise vectorised NumPy fallbacks run (same math).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.records import TRACE_RECORD_DTYPE
+
+
+def tone_map(hdr: np.ndarray, step: int, exposure: float, gamma: float) -> np.ndarray:
+    """HDR (H, W, 3) float32 -> LDR uint8, reference tone-map math."""
+    from ..runtime import native
+
+    scaled = hdr * (1.0 / max(step, 1))
+    out = native.tonemap(scaled, exposure, gamma)
+    if out is not None:
+        return out
+    exposure_scale = 2.0**exposure
+    inv_gamma = 1.0 / gamma
+    with np.errstate(invalid="ignore"):
+        ldr = np.power(np.maximum(scaled * exposure_scale, 0.0), inv_gamma)
+    return np.clip(ldr * 255.0, 0.0, 255.0).astype(np.uint8)
+
+
+class Film:
+    """Progressive HDR accumulator over render steps."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.hdr = np.zeros((height, width, 3), np.float32)
+
+    def reset(self) -> None:
+        self.hdr[:] = 0.0
+
+    def accumulate(self, records: np.ndarray) -> None:
+        """Add one step's worth of trace records into the film.
+
+        records: structured TRACE_RECORD_DTYPE array.  Padding entries
+        (u/v out of range, 0xFFFF markers) are skipped; each record adds
+        rgb / sampleCount (AccumulatedImage.cpp:59-74).
+        """
+        assert records.dtype == TRACE_RECORD_DTYPE
+        from ..runtime import native
+
+        if native.accumulate(records, self.hdr):
+            return
+        u = records["u"].astype(np.int64)
+        v = records["v"].astype(np.int64)
+        ok = (u < self.width) & (v < self.height) & (records["sampleCount"] > 0)
+        scale = np.zeros(len(records), np.float32)
+        np.divide(1.0, records["sampleCount"], out=scale, where=records["sampleCount"] > 0)
+        rgb = np.stack([records["r"], records["g"], records["b"]], axis=-1) * scale[:, None]
+        # Scatter-add (duplicate pixels possible after load-balancing shuffles):
+        np.add.at(self.hdr, (v[ok], u[ok]), rgb[ok])
+
+    def hdr_at_step(self, step: int) -> np.ndarray:
+        """The physically-normalised HDR image: accumulated / step."""
+        return self.hdr * (1.0 / max(step, 1))
+
+    def ldr(self, step: int, exposure: float, gamma: float) -> np.ndarray:
+        return tone_map(self.hdr, step, exposure, gamma)

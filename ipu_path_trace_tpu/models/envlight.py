@@ -1,0 +1,90 @@
+"""Environment lights: constant colour, equirect HDR texture, or NIF MLP.
+
+The reference defers all environment lighting of escaped rays to a
+batched lookup after the trace loop (PreProcess -> NIF -> PostProcess,
+reference: src/codelets/codelets.cpp:312-385).  That design is also the
+TPU-optimal one: the whole escaped-ray batch hits the MXU as one large
+matmul.  Dispatch over env-light type is static (by python type), so each
+variant jit-specialises.
+
+All variants return RGB.  The NIF variant reverses the network's channel
+order exactly as PostProcessEscapedRays does (codelets.cpp:377-378).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.vecmath import Vec3
+from .nif import NifParams, nif_apply
+
+
+class ConstantEnv(NamedTuple):
+    """Uniform environment radiance (the minimal end-to-end slice)."""
+
+    colour: Any  # (3,) float32 RGB
+
+
+class TextureEnv(NamedTuple):
+    """Equirectangular HDR texture lookup.
+
+    u indexes rows (theta), v indexes columns (phi) - the same (u, v)
+    convention the NIF is trained with (NifModel.cpp:474-490:
+    u = row/height, v = col/width).
+    """
+
+    texture: Any  # (H, W, 3) float32 RGB
+    bilinear: Any = None  # None -> nearest; anything else -> bilinear
+
+
+class NifEnv(NamedTuple):
+    """Neural Image Field environment light (weights as a pytree)."""
+
+    params: NifParams
+
+
+def eval_env(env, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+    """Evaluate environment radiance at equirect (u, v) in [0, 1]."""
+    if isinstance(env, ConstantEnv):
+        c = jnp.asarray(env.colour, jnp.float32)
+        ones = jnp.ones_like(u)
+        return Vec3(c[0] * ones, c[1] * ones, c[2] * ones)
+    if isinstance(env, TextureEnv):
+        return _eval_texture(env, u, v)
+    if isinstance(env, NifEnv):
+        # nif_apply returns the network's native channel order; reverse it
+        # (bgr -> rgb) exactly as PostProcessEscapedRays (codelets.cpp:377-378).
+        out = nif_apply(env.params, u, v)  # (P, 3)
+        return Vec3(out[:, 2], out[:, 1], out[:, 0])
+    raise TypeError(f"Unknown environment light type: {type(env)!r}")
+
+
+def _eval_texture(env: TextureEnv, u, v) -> Vec3:
+    tex = env.texture
+    h, w = tex.shape[0], tex.shape[1]
+    rf = jnp.clip(u, 0.0, 1.0) * (h - 1)
+    cf = jnp.clip(v, 0.0, 1.0) * (w - 1)
+    if env.bilinear is not None:
+        r0 = jnp.floor(rf).astype(jnp.int32)
+        c0 = jnp.floor(cf).astype(jnp.int32)
+        r1 = jnp.minimum(r0 + 1, h - 1)
+        c1 = jnp.minimum(c0 + 1, w - 1)
+        ar = (rf - r0)[:, None]
+        ac = (cf - c0)[:, None]
+        t00 = tex[r0, c0]
+        t01 = tex[r0, c1]
+        t10 = tex[r1, c0]
+        t11 = tex[r1, c1]
+        rgb = (
+            t00 * (1 - ar) * (1 - ac)
+            + t01 * (1 - ar) * ac
+            + t10 * ar * (1 - ac)
+            + t11 * ar * ac
+        )
+    else:
+        r0 = jnp.clip(jnp.round(rf).astype(jnp.int32), 0, h - 1)
+        c0 = jnp.clip(jnp.round(cf).astype(jnp.int32), 0, w - 1)
+        rgb = tex[r0, c0]
+    return Vec3(rgb[:, 0], rgb[:, 1], rgb[:, 2])

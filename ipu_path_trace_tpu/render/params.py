@@ -1,0 +1,56 @@
+"""Render parameters, split by compilation behaviour.
+
+StaticConfig changes recompile the step (shapes / loop bounds / kernel
+choice); RenderSettings are traced scalars streamed to the device each
+step, the analog of the reference's runtime-tunable StreamableTensors
+(reference: src/PathTracerApp.hpp:107-115 - seed, aa-scale, fov, azimuth,
+sample limit).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class StaticConfig(NamedTuple):
+    """Compile-time render configuration."""
+
+    width: int = 256
+    height: int = 256
+    samples_per_step: int = 512  # --samples-per-step (on-device loop count)
+    max_path_length: int = 10  # --max-path-length
+    aa_noise_type: str = "normal"  # --aa-noise-type
+    use_pallas: bool = False  # fused Pallas trace kernel for the hot loop
+
+
+class RenderSettings(NamedTuple):
+    """Runtime-tunable scalars (traced; no recompile on change)."""
+
+    fov: jnp.ndarray  # horizontal field of view, radians
+    aa_scale: jnp.ndarray  # anti-alias jitter scale, pixels
+    azimuth: jnp.ndarray  # env-map rotation, radians
+    refractive_index: jnp.ndarray  # --refractive-index
+    stop_prob: jnp.ndarray  # russian roulette stop probability
+    roulette_depth: jnp.ndarray  # bounces before roulette starts (int32)
+
+    @staticmethod
+    def make(
+        fov_degrees: float = 90.0,
+        aa_scale: float = 0.3,
+        env_rotation_degrees: float = 0.0,
+        refractive_index: float = 1.5,
+        stop_prob: float = 0.3,
+        roulette_depth: int = 3,
+    ) -> "RenderSettings":
+        import numpy as np
+
+        return RenderSettings(
+            fov=jnp.float32(np.deg2rad(fov_degrees)),
+            aa_scale=jnp.float32(aa_scale),
+            azimuth=jnp.float32(np.deg2rad(env_rotation_degrees)),
+            refractive_index=jnp.float32(refractive_index),
+            stop_prob=jnp.float32(stop_prob),
+            roulette_depth=jnp.int32(roulette_depth),
+        )

@@ -1,0 +1,239 @@
+"""The wavefront path-trace step: one jittable program per render step.
+
+This replaces the reference's per-tile megakernel pipeline
+(gen-rays -> path-trace -> pre-process -> NIF -> apply-env -> accumulate,
+reference: src/PathTracerApp.cpp:432-458) with a single SPMD program over
+the whole pixel batch:
+
+  * ray-gen: AA jitter + pixel_to_ray over the SoA worklist
+    (codelets.cpp:36-80)
+  * bounce loop: lax.scan over max_path_length with per-lane alive masks
+    replacing the divergent per-ray while loop (codelets.cpp:173-216)
+  * throughput accumulation runs forwards - provably equal to the
+    reference's backward contribution-stack walk (codelets.cpp:261-292):
+    products commute, and radiance is only deposited at EMIT/ESCAPED
+    terminals
+  * escaped rays record direction + throughput; the environment light
+    (constant / texture / NIF MLP) is applied afterwards to the whole
+    batch at once - the deferral the reference implements with
+    Pre/PostProcessEscapedRays (codelets.cpp:312-385), which on TPU turns
+    the NIF into one large MXU matmul
+  * the on-device sample loop (popops::countedForLoop,
+    PathTracerApp.cpp:466-468) is a lax.scan over sample indices.
+
+RNG is counter-based (threefry keys derived from (step key, sample,
+bounce)) instead of the reference's pre-generated noise pools
+(PathTracerApp.cpp:285-299).  The derivation is a pure function, so the
+NumPy oracle can replay the identical stream for bit-near-exact tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import aa_noise, pixel_to_ray
+from ..core.envmap import equirect_uv
+from ..core.geometry import intersect_scene
+from ..core.materials import (
+    DIFFUSE_SCALE,
+    REFRACT_WEIGHT,
+    reflect,
+    refract,
+    sample_diffuse,
+)
+from ..core.records import WorkBatch
+from ..core.scene import Material, Scene
+from ..core.vecmath import Vec3
+from ..models.envlight import eval_env
+from .params import RenderSettings, StaticConfig
+
+# Key-derivation tags (shared with the CPU oracle in cpu/oracle.py):
+AA_TAG = 0x0AA
+BOUNCE_TAG = 0xB0
+
+
+def sample_key(base_key: jax.Array, sample_idx) -> jax.Array:
+    return jax.random.fold_in(base_key, sample_idx)
+
+
+def bounce_uniforms(skey: jax.Array, bounce_idx, n: int) -> jnp.ndarray:
+    """(4, n) uniforms for one bounce: [rr, bsdf_u1, bsdf_u2, fresnel]."""
+    kb = jax.random.fold_in(skey, BOUNCE_TAG + bounce_idx)
+    return jax.random.uniform(kb, (4, n), jnp.float32)
+
+
+class _BounceState(NamedTuple):
+    o: Vec3
+    d: Vec3
+    throughput: Vec3
+    radiance: Vec3
+    alive: jnp.ndarray
+    esc_dir: Vec3
+    esc_w: Vec3  # throughput * rrFactor at escape (zero if not escaped)
+    escaped: jnp.ndarray
+    path_len: jnp.ndarray  # int32 pushes (reference pathLength semantics)
+
+
+def trace_one_sample(
+    scene: Scene,
+    settings: RenderSettings,
+    cfg: StaticConfig,
+    cols: jnp.ndarray,  # (P,) float32 pixel columns (worklist u)
+    rows: jnp.ndarray,  # (P,) float32 pixel rows (worklist v)
+    skey: jax.Array,
+    env,
+) -> tuple[Vec3, jnp.ndarray]:
+    """Trace one sample per worklist entry; returns (radiance, path_len)."""
+    n = cols.shape[0]
+
+    # --- ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
+    kaa = jax.random.fold_in(skey, AA_TAG)
+    noise = aa_noise(kaa, (2, n), cfg.aa_noise_type)
+    c = cols + settings.aa_scale * noise[0]
+    r = rows + settings.aa_scale * noise[1]
+    d = pixel_to_ray(c, r, cfg.width, cfg.height, settings.fov).normalized()
+    o = Vec3.zeros((n,))
+
+    state = _BounceState(
+        o=o,
+        d=d,
+        throughput=Vec3.full((n,), 1.0, 1.0, 1.0),
+        radiance=Vec3.zeros((n,)),
+        alive=jnp.ones((n,), bool),
+        esc_dir=Vec3.zeros((n,)),
+        esc_w=Vec3.zeros((n,)),
+        escaped=jnp.zeros((n,), bool),
+        path_len=jnp.zeros((n,), jnp.int32),
+    )
+
+    def bounce(state: _BounceState, bounce_idx):
+        rnd = bounce_uniforms(skey, bounce_idx, n)
+        rr_rand, u1, u2, fresnel_rand = rnd[0], rnd[1], rnd[2], rnd[3]
+
+        # Russian roulette (codelets.cpp:175-180): kicks in at
+        # depth >= roulette_depth; survivors weighted by 1/(1-p).
+        rr_on = bounce_idx >= settings.roulette_depth
+        rr_stop = rr_on & (rr_rand <= settings.stop_prob)
+        rr_factor = jnp.where(rr_on, 1.0 / (1.0 - settings.stop_prob), 1.0)
+        alive = state.alive & ~rr_stop
+
+        hit = intersect_scene(scene, state.o, state.d)
+
+        # Escaped rays: record direction + weighted throughput for the
+        # deferred environment lookup (codelets.cpp:185-189).
+        escaped_now = alive & ~hit.valid
+        esc_dir = state.d.where(escaped_now, state.esc_dir)
+        esc_w = (state.throughput * rr_factor).where(escaped_now, state.esc_w)
+        escaped = state.escaped | escaped_now
+
+        # Emitters terminate the path (codelets.cpp:192-196):
+        emit_now = alive & hit.valid & hit.emissive
+        emit_add = state.throughput.cwise(hit.emission) * rr_factor
+        radiance = state.radiance + emit_add.where(emit_now, Vec3.zeros((n,)))
+
+        alive = alive & hit.valid & ~hit.emissive
+
+        # BSDF sampling with masked lanes (codelets.cpp:198-213):
+        d_diff, cos_theta = sample_diffuse(hit.normal, u1, u2)
+        d_spec = reflect(state.d, hit.normal)
+        d_refr, refracted = refract(
+            state.d, hit.normal, settings.refractive_index, fresnel_rand
+        )
+
+        is_diff = hit.material == int(Material.DIFFUSE)
+        is_spec = hit.material == int(Material.SPECULAR)
+        new_d = d_diff.where(is_diff, d_spec.where(is_spec, d_refr))
+
+        one = Vec3.full((n,), 1.0, 1.0, 1.0)
+        # Throughput multipliers (contribution weights of codelets.cpp:198-213
+        # applied forwards):
+        w_diff = hit.colour * (cos_theta * DIFFUSE_SCALE * rr_factor)
+        w_spec = one * rr_factor
+        tint = hit.colour.where(refracted, one)
+        w_refr = tint * (REFRACT_WEIGHT * rr_factor)
+        scale = w_diff.where(is_diff, w_spec.where(is_spec, w_refr))
+
+        throughput = state.throughput.cwise(scale).where(alive, state.throughput)
+        new_o = hit.point.where(alive, state.o)
+        new_d = new_d.where(alive, state.d)
+
+        # pathLength counts stack pushes: one per scatter/terminal event
+        # (TraceRecord semantics via resizeContributionArray,
+        # WrappedArray.hpp:45-68, codelets.cpp:253).
+        pushed = escaped_now | emit_now | alive
+        path_len = state.path_len + pushed.astype(jnp.int32)
+
+        return (
+            _BounceState(
+                o=new_o,
+                d=new_d,
+                throughput=throughput,
+                radiance=radiance,
+                alive=alive,
+                esc_dir=esc_dir,
+                esc_w=esc_w,
+                escaped=escaped,
+                path_len=path_len,
+            ),
+            None,
+        )
+
+    state, _ = jax.lax.scan(
+        bounce, state, jnp.arange(cfg.max_path_length, dtype=jnp.int32)
+    )
+
+    # --- deferred environment lighting (codelets.cpp:312-385) ---
+    u, v = equirect_uv(state.esc_dir, settings.azimuth)
+    # Zero the non-escaped lanes like PreProcessEscapedRays does to avoid
+    # FP garbage (codelets.cpp:348-352):
+    u = jnp.where(state.escaped, u, 0.0)
+    v = jnp.where(state.escaped, v, 0.0)
+    env_rgb = eval_env(env, u, v)
+    radiance = state.radiance + state.esc_w.cwise(env_rgb)
+    return radiance, state.path_len
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_step(
+    scene: Scene,
+    settings: RenderSettings,
+    cfg: StaticConfig,
+    work: WorkBatch,
+    step_key: jax.Array,
+    env,
+) -> WorkBatch:
+    """Run cfg.samples_per_step samples and accumulate into the worklist.
+
+    The device-side sampling loop is the analog of the reference's
+    on-device countedForLoop over path-trace iterations
+    (PathTracerApp.cpp:466-468).  Accumulation matches
+    AccumulateContributions (codelets.cpp:294-300): rgb sums, sampleCount
+    increments, pathLength sums.
+    """
+    cols = work.u.astype(jnp.float32)
+    rows = work.v.astype(jnp.float32)
+
+    def body(carry, sample_idx):
+        rad, plen = carry
+        skey = sample_key(step_key, sample_idx)
+        r, p = trace_one_sample(scene, settings, cfg, cols, rows, skey, env)
+        return (rad + r, plen + p), None
+
+    init = (Vec3.zeros(cols.shape), jnp.zeros(cols.shape, jnp.int32))
+    (rad, plen), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.samples_per_step, dtype=jnp.int32)
+    )
+
+    return WorkBatch(
+        u=work.u,
+        v=work.v,
+        r=work.r + rad.x,
+        g=work.g + rad.y,
+        b=work.b + rad.z,
+        sample_count=work.sample_count + cfg.samples_per_step,
+        path_length=work.path_length + plen,
+    )
