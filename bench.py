@@ -1,0 +1,73 @@
+"""Headline benchmark: Mpaths/sec/chip at 1104x1000 with the NIF env light.
+
+The canonical demo config of the reference (1104x1000, urban_alley
+6x320 fp16 NIF - reference: README.md:82) rendered on one chip.  A
+"path" is one camera sample (the reference's samples/sec metric,
+src/PathTracerApp.cpp:766-770).  Baseline: the driver-assigned target of
+50 Mpaths/sec/chip (BASELINE.md).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+WIDTH, HEIGHT = 1104, 1000
+SAMPLES_PER_STEP = 16
+TIMED_STEPS = 3
+BASELINE_MPATHS = 50.0
+
+
+def main() -> None:
+    from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+    from ipu_path_trace_tpu.render.wavefront import render_step
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    scene = default_scene()
+    weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    cfg = StaticConfig(width=WIDTH, height=HEIGHT)
+    settings = RenderSettings.make(samples_per_step=SAMPLES_PER_STEP)
+    work = to_device_batch(make_worklist(WIDTH, HEIGHT))
+
+    # Warmup/compile:
+    t0 = time.monotonic()
+    out = render_step(scene, settings, cfg, work, jax.random.key(0), env)
+    jax.block_until_ready(out)
+    print(f"compile+first step: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    for i in range(TIMED_STEPS):
+        out = render_step(scene, settings, cfg, out, jax.random.key(i + 1), env)
+    jax.block_until_ready(out)
+    secs = time.monotonic() - t0
+
+    paths = WIDTH * HEIGHT * SAMPLES_PER_STEP * TIMED_STEPS
+    mpaths_per_sec = paths / secs / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mpaths/sec/chip at 1104x1000 urban_alley-class NIF scene",
+                "value": round(mpaths_per_sec, 3),
+                "unit": "Mpaths/s",
+                "vs_baseline": round(mpaths_per_sec / BASELINE_MPATHS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

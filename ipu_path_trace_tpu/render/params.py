@@ -19,14 +19,19 @@ class StaticConfig(NamedTuple):
 
     width: int = 256
     height: int = 256
-    samples_per_step: int = 512  # --samples-per-step (on-device loop count)
     max_path_length: int = 10  # --max-path-length
     aa_noise_type: str = "normal"  # --aa-noise-type
     use_pallas: bool = False  # fused Pallas trace kernel for the hot loop
 
 
 class RenderSettings(NamedTuple):
-    """Runtime-tunable scalars (traced; no recompile on change)."""
+    """Runtime-tunable scalars (traced; no recompile on change).
+
+    samples_per_step is deliberately dynamic - the reference streams the
+    on-device sample limit at runtime too (deviceSampleLimit,
+    PathTracerApp.cpp:353-355,466-468), so switching between interactive
+    and full sampling never recompiles.
+    """
 
     fov: jnp.ndarray  # horizontal field of view, radians
     aa_scale: jnp.ndarray  # anti-alias jitter scale, pixels
@@ -34,6 +39,7 @@ class RenderSettings(NamedTuple):
     refractive_index: jnp.ndarray  # --refractive-index
     stop_prob: jnp.ndarray  # russian roulette stop probability
     roulette_depth: jnp.ndarray  # bounces before roulette starts (int32)
+    samples_per_step: jnp.ndarray  # on-device sample loop count (int32)
 
     @staticmethod
     def make(
@@ -43,6 +49,7 @@ class RenderSettings(NamedTuple):
         refractive_index: float = 1.5,
         stop_prob: float = 0.3,
         roulette_depth: int = 3,
+        samples_per_step: int = 512,
     ) -> "RenderSettings":
         import numpy as np
 
@@ -53,4 +60,5 @@ class RenderSettings(NamedTuple):
             refractive_index=jnp.float32(refractive_index),
             stop_prob=jnp.float32(stop_prob),
             roulette_depth=jnp.int32(roulette_depth),
+            samples_per_step=jnp.int32(samples_per_step),
         )

@@ -197,8 +197,7 @@ def trace_one_sample(
     return radiance, state.path_len
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_step(
+def render_step_impl(
     scene: Scene,
     settings: RenderSettings,
     cfg: StaticConfig,
@@ -217,16 +216,16 @@ def render_step(
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
 
-    def body(carry, sample_idx):
+    def body(sample_idx, carry):
         rad, plen = carry
         skey = sample_key(step_key, sample_idx)
         r, p = trace_one_sample(scene, settings, cfg, cols, rows, skey, env)
-        return (rad + r, plen + p), None
+        return (rad + r, plen + p)
 
     init = (Vec3.zeros(cols.shape), jnp.zeros(cols.shape, jnp.int32))
-    (rad, plen), _ = jax.lax.scan(
-        body, init, jnp.arange(cfg.samples_per_step, dtype=jnp.int32)
-    )
+    # Dynamic trip count = the streamed deviceSampleLimit analog
+    # (PathTracerApp.cpp:466-468); fori_loop keeps it a runtime value.
+    rad, plen = jax.lax.fori_loop(0, settings.samples_per_step, body, init)
 
     return WorkBatch(
         u=work.u,
@@ -234,6 +233,11 @@ def render_step(
         r=work.r + rad.x,
         g=work.g + rad.y,
         b=work.b + rad.z,
-        sample_count=work.sample_count + cfg.samples_per_step,
+        sample_count=work.sample_count + settings.samples_per_step,
         path_length=work.path_length + plen,
     )
+
+
+# Single-chip entry point; multi-chip goes through parallel.mesh which
+# wraps render_step_impl in a shard_map.
+render_step = partial(jax.jit, static_argnames=("cfg",))(render_step_impl)

@@ -1,0 +1,363 @@
+"""PathTracerApp: init / build / execute orchestration.
+
+TPU-native port of the reference application driver
+(reference: src/PathTracerApp.{hpp,cpp}).  The phase split is preserved:
+
+  init()    - graph-independent setup: load NIF assets / env light
+              (PathTracerApp.cpp:60-72), also run on executable load
+  build()   - construct + compile the render programs, optionally
+              save/load AOT executables (build(), :310-484)
+  execute() - the progressive render loop with async host pipeline,
+              double-buffered worklists, optional load balancing and
+              remote UI (execute(), :566-792)
+
+Device "programs" are jitted functions in a ProgramManager; the
+setup / path_trace / read_results stream trio of the reference maps to
+host->device transfer, the jitted step, and device->host readback.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.records import from_device_batch, to_device_batch
+from ..core.scene import default_scene
+from ..film.film import Film
+from ..film.imageio import read_exr, save_images
+from ..models.envlight import ConstantEnv, NifEnv, TextureEnv
+from ..models.nif import analyse_nif, load_nif_assets
+from ..parallel.mesh import make_mesh, make_step_fn, replicate, shard_work
+from ..render.params import RenderSettings, StaticConfig
+from ..utils.logging import logger
+from ..utils.tracing import TraceChannel
+from .async_task import AsyncTask
+from .config import Config
+from .exe_cache import ProgramManager, enable_compilation_cache
+from .worklist import LoadBalancer, create_tracing_jobs
+
+# Steps without UI interaction before reverting to the performant
+# samples-per-step (PathTracerApp.cpp:643,670-675):
+SAMPLE_COUNT_REVERSION_STEP = 5
+
+
+def parse_env_assets(assets: str, partials_type: str = "half"):
+    """Build the environment light from the --assets argument.
+
+    - 'constant:R,G,B'   uniform radiance
+    - 'texture:<file>'   equirect HDR texture (EXR or anything imageio reads)
+    - '<dir>'            NIF assets dir: nif_metadata.txt + converted.hdf5
+                         (loadNifModels, PathTracerApp.cpp:106-123)
+    """
+    if assets.startswith("constant:"):
+        rgb = [float(x) for x in assets.split(":", 1)[1].split(",")]
+        if len(rgb) != 3:
+            raise ValueError("constant env expects 'constant:R,G,B'")
+        return ConstantEnv(colour=jnp.asarray(rgb, jnp.float32)), None
+    if assets.startswith("texture:"):
+        path = assets.split(":", 1)[1]
+        if path.endswith(".exr"):
+            img = read_exr(path)
+        else:
+            import imageio.v3 as iio
+
+            img = np.asarray(iio.imread(path), np.float32)
+            if img.dtype == np.uint8 or img.max() > 64.0:
+                img = img / 255.0
+        return TextureEnv(texture=jnp.asarray(img, jnp.float32)), None
+    dtype = jnp.bfloat16 if partials_type == "half" else jnp.float32
+    params, meta, weights = load_nif_assets(assets, dtype)
+    return NifEnv(params=params), (meta, weights)
+
+
+class PathTracerApp:
+    def __init__(self, config: Config):
+        self.cfg = config
+        self.trace = TraceChannel("tpu_path_tracer")
+        self.programs = ProgramManager()
+        self.scene = default_scene()
+        self.env = None
+        self.nif_info = None
+        self.mesh = None
+        self.film: Film | None = None
+        self.balancer: LoadBalancer | None = None
+        self.samples_per_step = config.samples_per_step
+        self.interactive = False
+
+    # ------------------------------------------------------------------
+    def init(self) -> None:
+        cfg = self.cfg
+        if cfg.model:
+            # Simulator: the IPUModel analog is the XLA CPU backend
+            # (ipu_utils.hpp:78-86).
+            jax.config.update("jax_platforms", "cpu")
+            logger().info("Using CPU simulator backend (--model).")
+        if cfg.cache_dir:
+            enable_compilation_cache(cfg.cache_dir)
+        spp = cfg.rounded_samples_per_pixel()
+        if spp != cfg.samples:
+            logger().info(
+                "Rounding SPP to next multiple of %d  (Rounded SPP := %d)",
+                cfg.samples_per_step,
+                spp,
+            )
+        self.total_spp = spp
+        self.load_env(cfg.assets)
+
+    def load_env(self, assets: str) -> bool:
+        """(Re)load the environment light; returns False on failure
+        (loadNifModels semantics, PathTracerApp.cpp:106-123)."""
+        try:
+            self.env, self.nif_info = parse_env_assets(assets, self.cfg.partials_type)
+        except Exception as e:
+            logger().error("Could not load NIF model from '%s'. Exception: %s", assets, e)
+            return False
+        if self.nif_info is not None:
+            meta, weights = self.nif_info
+            info = analyse_nif(weights, self.cfg.width * self.cfg.height)
+            logger().info("NIF layers: %d", info["layers"])
+            logger().info("NIF hidden size: %d", info["hidden_size"])
+            logger().info("NIF model FLOPS: %d", info["flops"])
+            logger().info("NIF parameter size: %.1f KiB", info["parameters_kib"])
+        return True
+
+    # ------------------------------------------------------------------
+    def static_config(self) -> StaticConfig:
+        return StaticConfig(
+            width=self.cfg.width,
+            height=self.cfg.height,
+            max_path_length=self.cfg.max_path_length,
+            aa_noise_type=self.cfg.aa_noise_type,
+            use_pallas=self.cfg.use_pallas,
+        )
+
+    def local_samples(self, samples_per_step: int) -> int:
+        """Per-chip sample count when a sample mesh axis is in use."""
+        if self.mesh is not None:
+            sm = self.mesh.shape["samples"]
+            if samples_per_step % sm:
+                raise ValueError(
+                    f"samples-per-step {samples_per_step} must divide by the "
+                    f"sample mesh axis ({sm})"
+                )
+            return samples_per_step // sm
+        return samples_per_step
+
+    def settings(self, samples_per_step: int, fov_deg=None, env_rot_deg=None) -> RenderSettings:
+        cfg = self.cfg
+        return RenderSettings.make(
+            fov_degrees=cfg.fov if fov_deg is None else fov_deg,
+            aa_scale=cfg.aa_noise_scale,
+            env_rotation_degrees=cfg.env_map_rotation if env_rot_deg is None else env_rot_deg,
+            refractive_index=cfg.refractive_index,
+            stop_prob=cfg.stop_prob,
+            roulette_depth=cfg.roulette_depth,
+            samples_per_step=self.local_samples(samples_per_step),
+        )
+
+    def build(self) -> None:
+        """Register and (optionally) AOT-compile the device programs."""
+        cfg = self.cfg
+        with self.trace.span("create_path_tracing_jobs"):
+            worklist = create_tracing_jobs(cfg.width, cfg.height)
+            self.balancer = LoadBalancer(len(worklist))
+            self.balancer.randomise_work_list(worklist)
+            self.balancer.work.active = self.balancer.work.inactive.copy()
+        self.film = Film(cfg.width, cfg.height)
+
+        if cfg.ipus > 1:
+            self.mesh = make_mesh(cfg.ipus, cfg.mesh_shape)
+            logger().info("Device mesh: %s", dict(self.mesh.shape))
+            self.scene = replicate(self.scene, self.mesh)
+            self.env = replicate(self.env, self.mesh)
+
+        step_fn = make_step_fn(self.static_config(), self.mesh)
+        self.programs.add("path_trace", step_fn)
+
+        if cfg.load_exe:
+            with self.trace.span("load_exe"):
+                if not self.programs.load(cfg.load_exe):
+                    raise RuntimeError(f"Could not load executable '{cfg.load_exe}'")
+            return
+
+        if cfg.save_exe or cfg.compile_only:
+            with self.trace.span("compile"):
+                args = self._example_args()
+                # Trigger compilation (and warm the persistent cache):
+                out = step_fn(*args)
+                jax.block_until_ready(out)
+            if cfg.save_exe:
+                with self.trace.span("save_exe"):
+                    self.programs.save(cfg.save_exe, {"path_trace": args})
+
+    def _example_args(self):
+        work = to_device_batch(self.balancer.work.active)
+        if self.mesh is not None:
+            work = shard_work(work, self.mesh)
+        return (
+            self.scene,
+            self.settings(self.samples_per_step),
+            work,
+            jax.random.key(self.cfg.seed),
+            self.env,
+        )
+
+    # ------------------------------------------------------------------
+    def execute(self, ui_server=None, max_steps: int | None = None) -> Film:
+        """The progressive render loop (execute(), PathTracerApp.cpp:566-792)."""
+        cfg = self.cfg
+        assert self.film is not None and self.balancer is not None
+        film = self.film
+        balancer = self.balancer
+
+        state = {
+            "exposure": cfg.exposure,
+            "gamma": cfg.gamma,
+            "fov": cfg.fov,
+            "env_rotation": cfg.env_map_rotation,
+            "interactive_samples": cfg.interactive_samples,
+        }
+        if ui_server is not None:
+            self.samples_per_step = cfg.interactive_samples
+            self.interactive = True
+
+        steps = self.total_spp // cfg.samples_per_step
+        if max_steps is not None:
+            steps = min(steps, max_steps)
+        host = AsyncTask()
+        key = jax.random.key(cfg.seed)
+        total_rays = {"n": 0}
+        start_time = time.monotonic()
+        logger().info("Render started")
+
+        step = 1
+        while step <= steps:
+            loop_start = time.monotonic()
+
+            # --- UI processing (PathTracerApp.cpp:652-686) ---
+            if ui_server is not None and ui_server.state_changed():
+                with self.trace.span("ui_processing"):
+                    ui_state = ui_server.consume_state()
+                    status = self._process_user_input(ui_state, state, ui_server)
+                    if status == "stop":
+                        break
+                    if status == "disconnected":
+                        ui_server = None
+                    elif status == "restart":
+                        host.wait_for_completion()
+                        film.reset()
+                        balancer.clear_active_accumulators()
+                        start_time = time.monotonic()
+                        step = 1
+                        self.samples_per_step = state["interactive_samples"]
+            elif step == SAMPLE_COUNT_REVERSION_STEP and self.interactive:
+                self.samples_per_step = cfg.samples_per_step
+                self.interactive = ui_server is not None
+                logger().debug(
+                    "Interaction stopped reverting samples per step to: %d",
+                    self.samples_per_step,
+                )
+
+            settings = self.settings(
+                self.samples_per_step, fov_deg=state["fov"], env_rot_deg=state["env_rotation"]
+            )
+
+            # --- device render: setup -> path_trace -> read_results ---
+            with self.trace.span("ipu_render"):
+                work_dev = to_device_batch(balancer.work.active)
+                if self.mesh is not None:
+                    work_dev = shard_work(work_dev, self.mesh)
+                step_key = jax.random.fold_in(key, step)
+                out = self.programs.run(
+                    "path_trace", self.scene, settings, work_dev, step_key, self.env
+                )
+                records = from_device_batch(out)  # blocks on device completion
+                balancer.work.active = records
+
+            # --- host pipeline (PathTracerApp.cpp:700-761) ---
+            with self.trace.span("wait_for_host"):
+                host.wait_for_completion()
+            balancer.work.swap()
+
+            step_for_task = step
+            sps_for_task = self.samples_per_step
+
+            def host_processing(step=step_for_task, sps=sps_for_task, ui=ui_server):
+                with self.trace.span("accumulate_framebuffers"):
+                    film.accumulate(balancer.work.inactive)
+                if ui is not None:
+                    with self.trace.span("tone_map"):
+                        ldr = film.ldr(step, state["exposure"], state["gamma"])
+                    with self.trace.span("ui_encode"):
+                        ui.send_preview_image(ldr)
+                    ui.update_progress(step, steps)
+                if cfg.enable_load_balancing and step > 1:
+                    with self.trace.span("run_load_balancing"):
+                        balancer.allocate_work_by_path_length()
+                with self.trace.span("clear_accumulators"):
+                    total_rays["n"] = balancer.clear_inactive_accumulators()
+                if step % cfg.save_interval == 0 or step == steps:
+                    if ui is not None:
+                        ui.start_sending_raw_image(film.hdr_at_step(step), step)
+                    else:
+                        with self.trace.span("save_images"):
+                            save_images(
+                                cfg.outfile,
+                                film.hdr_at_step(step),
+                                film.ldr(step, state["exposure"], state["gamma"]),
+                            )
+                            logger().info("Saved images at step %d", step)
+
+            host.run(host_processing)
+
+            # --- stats (PathTracerApp.cpp:763-776) ---
+            secs = time.monotonic() - loop_start
+            sample_rate = cfg.width * cfg.height * self.samples_per_step / secs
+            ray_rate = total_rays["n"] / secs  # lags one step like the async source it reads
+            logger().info(
+                "Completed render step %d/%d in %.3f seconds (Samples/sec %.3g) (Rays/sec %.3g)",
+                step,
+                steps,
+                secs,
+                sample_rate,
+                ray_rate,
+            )
+            if ui_server is not None:
+                ui_server.update_sample_rate(sample_rate, ray_rate)
+            step += 1
+
+        host.wait_for_completion()
+        elapsed = time.monotonic() - start_time
+        logger().info("Render finished: %.3f seconds", elapsed)
+        pixels = cfg.width * cfg.height
+        samples_per_sec = (pixels / elapsed) * self.total_spp
+        logger().info("Samples/sec: %.4g", samples_per_sec)
+        logger().info("Samples/sec/chip: %.4g", samples_per_sec / max(1, cfg.ipus))
+        return film
+
+    # ------------------------------------------------------------------
+    def _process_user_input(self, ui_state, state, ui_server) -> str:
+        """processUserInput (PathTracerApp.cpp:531-564)."""
+        if ui_state.get("stop"):
+            logger().info("Rendering stopped by remote UI")
+            return "stop"
+        if ui_state.get("detach"):
+            logger().info("Remote UI disconnected.")
+            return "disconnected"
+        new_nif = ui_state.get("load_nif")
+        if new_nif:
+            logger().info("Loading NIF: %s", new_nif)
+            self.load_env(new_nif)
+        for k_src, k_dst in (
+            ("env_rotation", "env_rotation"),
+            ("exposure", "exposure"),
+            ("gamma", "gamma"),
+            ("fov", "fov"),
+            ("interactive_samples", "interactive_samples"),
+        ):
+            if k_src in ui_state:
+                state[k_dst] = ui_state[k_src]
+        return "restart"

@@ -1,0 +1,159 @@
+"""The `tpu_trace` command line - flag parity with the `ipu_trace` binary.
+
+Two option tiers exactly as the reference (standard harness options,
+src/main.cpp:8-37; tool options, src/PathTracerApp.cpp:794-830),
+including short aliases (-o, -w, -h, -s, -n, -a) and validation
+(save/load mutual exclusion, main.cpp:62-66).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..utils.logging import logger, set_log_level
+from .config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_trace",
+        description="TPU-native neural path tracer (ipu_path_trace re-designed for TPU).",
+        add_help=False,
+    )
+    std = p.add_argument_group("Options")
+    std.add_argument("--help", action="help", help="Show command help.")
+    std.add_argument("--model", action="store_true",
+                     help="Use the CPU simulator backend instead of TPU hardware.")
+    std.add_argument("--ipus", type=int, default=1, metavar="N",
+                     help="Number of chips to shard the render over.")
+    std.add_argument("--save-exe", default="", metavar="NAME",
+                     help="Save compiled executables using this name (prefix).")
+    std.add_argument("--load-exe", default="", metavar="NAME",
+                     help="Load previously saved executables with this prefix and skip compilation.")
+    std.add_argument("--compile-only", action="store_true",
+                     help="If set with save-exe, exit after compiling and saving.")
+    std.add_argument("--defer-attach", action="store_true",
+                     help="Accepted for parity; device attach is implicit in JAX.")
+    std.add_argument("--log-level", default="info",
+                     choices=["trace", "debug", "info", "warn", "err", "critical", "off"])
+
+    tool = p.add_argument_group("Tool options")
+    tool.add_argument("--outfile", "-o", required=True, help="Set output file name.")
+    tool.add_argument("--save-interval", type=int, default=1)
+    tool.add_argument("--width", "-w", type=int, default=256, help="Output image width (total pixels).")
+    tool.add_argument("--height", "-H", type=int, default=256, help="Output image height (total pixels).")
+    tool.add_argument("--samples", "-s", type=int, default=512, help="Total samples to take per pixel.")
+    tool.add_argument("--samples-per-step", type=int, default=512, help="Samples to take per device step.")
+    tool.add_argument("--interactive-samples", type=int, default=8,
+                      help="Samples per device step during user interaction.")
+    tool.add_argument("--refractive-index", "-n", type=float, default=1.5, help="Refractive index.")
+    tool.add_argument("--roulette-depth", type=int, default=3,
+                      help="Number of bounces before rays are randomly stopped.")
+    tool.add_argument("--stop-prob", type=float, default=0.3, help="Probability of a ray being stopped.")
+    tool.add_argument("--aa-noise-scale", "-a", type=float, default=0.3,
+                      help="Scale of anti-aliasing noise (pixels).")
+    tool.add_argument("--fov", type=float, default=90.0, help="Horizontal field of view (degrees).")
+    tool.add_argument("--exposure", type=float, default=0.0, help="Exposure compensation for tone-mapping.")
+    tool.add_argument("--gamma", type=float, default=2.2, help="Gamma correction for tone-mapping.")
+    tool.add_argument("--env-map-rotation", type=float, default=0.0,
+                      help="Azimuthal rotation for HDRI environment map (degrees).")
+    tool.add_argument("--seed", type=int, default=1, help="Seed for random number generation.")
+    tool.add_argument("--aa-noise-type", default="normal",
+                      choices=["uniform", "normal", "truncated-normal"])
+    tool.add_argument("--codelet-path", default="./",
+                      help="Accepted for parity; there are no codelets on TPU.")
+    tool.add_argument("--enable-load-balancing", action="store_true",
+                      help="Run the dynamic load balancing algorithm for path tracing.")
+    tool.add_argument("--max-path-length", type=int, default=10)
+    tool.add_argument("--assets", required=True,
+                      help="Path to the 'assets.extra' directory of the saved NIF model, "
+                      "or 'constant:R,G,B' / 'texture:<image>' for non-neural env lights.")
+    tool.add_argument("--partials-type", default="half", choices=["half", "float"],
+                      help="Matmul compute precision: half -> bfloat16, float -> float32.")
+    tool.add_argument("--available-memory-proportion", type=float, default=0.6,
+                      help="Proportion of on-chip memory allowed for matrix multiplies.")
+    tool.add_argument("--max-nif-batch-size", type=int, default=30 * 1472,
+                      help="Maximum batch size for NIF inference; larger batches are serialised.")
+    tool.add_argument("--ui-port", type=int, default=0,
+                      help="Start a remote user-interface server on the specified port.")
+
+    tpu = p.add_argument_group("TPU options")
+    tpu.add_argument("--use-pallas", action=argparse.BooleanOptionalAction, default=True,
+                     help="Use fused Pallas kernels for the hot paths.")
+    tpu.add_argument("--mesh-shape", default="",
+                     help="Device mesh as 'PIXELSxSAMPLES', e.g. '4x2'. Default: all chips on the pixel axis.")
+    tpu.add_argument("--cache-dir", default="", help="Persistent compilation cache directory.")
+    return p
+
+
+def parse_config(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    cfg = Config(
+        model=args.model,
+        ipus=args.ipus,
+        save_exe=args.save_exe,
+        load_exe=args.load_exe,
+        compile_only=args.compile_only,
+        defer_attach=args.defer_attach,
+        log_level=args.log_level,
+        outfile=args.outfile,
+        save_interval=args.save_interval,
+        width=args.width,
+        height=args.height,
+        samples=args.samples,
+        samples_per_step=args.samples_per_step,
+        interactive_samples=args.interactive_samples,
+        refractive_index=args.refractive_index,
+        roulette_depth=args.roulette_depth,
+        stop_prob=args.stop_prob,
+        aa_noise_scale=args.aa_noise_scale,
+        fov=args.fov,
+        exposure=args.exposure,
+        gamma=args.gamma,
+        env_map_rotation=args.env_map_rotation,
+        seed=args.seed,
+        aa_noise_type=args.aa_noise_type,
+        codelet_path=args.codelet_path,
+        enable_load_balancing=args.enable_load_balancing,
+        max_path_length=args.max_path_length,
+        assets=args.assets,
+        partials_type=args.partials_type,
+        available_memory_proportion=args.available_memory_proportion,
+        max_nif_batch_size=args.max_nif_batch_size,
+        ui_port=args.ui_port,
+        use_pallas=args.use_pallas,
+        mesh_shape=args.mesh_shape,
+        cache_dir=args.cache_dir,
+    )
+    cfg.validate()
+    return cfg
+
+
+def main(argv=None) -> int:
+    try:
+        cfg = parse_config(argv)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    set_log_level(cfg.log_level)
+    try:
+        from .app import PathTracerApp
+
+        app = PathTracerApp(cfg)
+        app.init()
+        app.build()
+        if cfg.compile_only:
+            logger().info("Compile-only run finished.")
+            return 0
+        app.execute()
+        return 0
+    except Exception as e:
+        logger().error("%s", e)
+        if cfg.log_level in ("trace", "debug"):
+            raise
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

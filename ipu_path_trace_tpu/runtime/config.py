@@ -1,0 +1,71 @@
+"""Application configuration - the reference's two-tier flag set.
+
+Standard (harness) options mirror src/main.cpp:8-37; tool (render)
+options mirror src/PathTracerApp.cpp:794-830, flag for flag with the
+same defaults.  TPU-specific additions are listed at the bottom and are
+purely additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # --- standard options (main.cpp:8-37) ---
+    model: bool = False  # simulator: force CPU backend (IPUModel analog)
+    ipus: int = 1  # number of chips to shard over (mesh size)
+    save_exe: str = ""  # AOT-export compiled programs with this prefix
+    load_exe: str = ""  # load previously exported programs
+    compile_only: bool = False
+    defer_attach: bool = False  # accepted for parity; attach is implicit in JAX
+    log_level: str = "info"
+
+    # --- tool options (PathTracerApp.cpp:794-830) ---
+    outfile: str = "out.png"
+    save_interval: int = 1
+    width: int = 256
+    height: int = 256
+    samples: int = 512
+    samples_per_step: int = 512
+    interactive_samples: int = 8
+    refractive_index: float = 1.5
+    roulette_depth: int = 3
+    stop_prob: float = 0.3
+    aa_noise_scale: float = 0.3
+    fov: float = 90.0  # degrees
+    exposure: float = 0.0
+    gamma: float = 2.2
+    env_map_rotation: float = 0.0  # degrees
+    seed: int = 1
+    aa_noise_type: str = "normal"
+    codelet_path: str = "./"  # accepted for parity; no codelets on TPU
+    enable_load_balancing: bool = False
+    max_path_length: int = 10
+    assets: str = ""  # NIF assets dir, or "constant:r,g,b" / "texture:<file>"
+    partials_type: str = "half"  # half -> bf16 matmuls, float -> f32
+    available_memory_proportion: float = 0.6
+    max_nif_batch_size: int = 30 * 1472
+    ui_port: int = 0
+
+    # --- TPU-native additions ---
+    use_pallas: bool = True  # fused Pallas trace kernel where profitable
+    mesh_shape: str = ""  # e.g. "4x2" -> pixel x sample mesh axes; "" = 1D pixels
+    cache_dir: str = ""  # persistent XLA compilation cache directory
+
+    def validate(self) -> None:
+        if self.save_exe and self.load_exe:
+            raise ValueError("You can not set both save-exe and load-exe.")
+        if not self.assets:
+            raise ValueError("the option '--assets' is required but missing")
+        if self.samples_per_step < 1 or self.samples < 1:
+            raise ValueError("samples and samples-per-step must be >= 1")
+
+    def rounded_samples_per_pixel(self) -> int:
+        """Round spp up to a multiple of samples-per-step
+        (roundSamplesPerPixel, PathTracerApp.cpp:19-27)."""
+        spp = self.samples
+        if spp % self.samples_per_step:
+            spp += self.samples_per_step - (spp % self.samples_per_step)
+        return spp

@@ -1,0 +1,159 @@
+"""Double-buffered worklists and the path-length load balancer.
+
+Host-side work scheduling, the TPU-native port of
+reference: src/LoadBalancer.{hpp,cpp}.  On TPU the wavefront is SIMD so
+static sharding is already balanced; the shuffle/re-deal machinery is
+kept for behavioural parity (`--enable-load-balancing`) and because the
+record bookkeeping (clear + pathLength reduction for the rays/sec
+metric) lives here either way.  Hot loops go through the native C++
+runtime when built (csrc/pt_host.cpp), with NumPy fallbacks.
+
+"Tiles" are virtual on TPU: the unit the load balancer deals work to.
+The default mirrors the reference's 1472 tiles/chip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.records import DUMMY_COORD, TRACE_RECORD_DTYPE, make_worklist
+from ..utils.logging import logger
+from . import native
+
+# The reference's MK2 IPU has 1472 tiles x 6 workers (SURVEY.md section 2.11);
+# kept as the virtual tile count for load-balancing parity.
+VIRTUAL_TILES = 1472
+VIRTUAL_WORKERS = 6
+
+
+def calculate_max_rays_per_tile(
+    width: int, height: int, num_tiles: int = VIRTUAL_TILES, num_workers: int = VIRTUAL_WORKERS
+) -> int:
+    """Ceil-divide pixels over tiles, round up to a worker multiple.
+
+    Mirrors calculateMaxRaysPerTile (LoadBalancer.cpp:14-36) including its
+    quirk of adding `raysPerTile % numWorkers` rather than rounding up to
+    the next multiple.
+    """
+    total = width * height
+    if total % (num_tiles * num_workers):
+        logger().warning(
+            "For best performance number of pixels should be divisible by %d x %d (tiles x workers).",
+            num_tiles,
+            num_workers,
+        )
+    rays_per_tile = int(np.ceil(total / float(num_tiles)))
+    rays_per_tile += rays_per_tile % num_workers
+    return max(num_workers, rays_per_tile)
+
+
+def create_tracing_jobs(width: int, height: int, num_tiles: int = VIRTUAL_TILES) -> np.ndarray:
+    """Padded whole-image worklist (createTracingJobs, LoadBalancer.cpp:54-86)."""
+    rays_per_tile = calculate_max_rays_per_tile(width, height, num_tiles)
+    return make_worklist(width, height, padded_size=rays_per_tile * num_tiles)
+
+
+class WorkList:
+    """Double-buffered record list (LoadBalancer.hpp:26-41).
+
+    The device renders into the active buffer while the host
+    asynchronously accumulates the inactive one.
+    """
+
+    def __init__(self, size: int):
+        self._active = np.zeros(size, TRACE_RECORD_DTYPE)
+        self._inactive = np.zeros(size, TRACE_RECORD_DTYPE)
+
+    @property
+    def active(self) -> np.ndarray:
+        return self._active
+
+    @active.setter
+    def active(self, v: np.ndarray) -> None:
+        self._active = v
+
+    @property
+    def inactive(self) -> np.ndarray:
+        return self._inactive
+
+    @inactive.setter
+    def inactive(self, v: np.ndarray) -> None:
+        self._inactive = v
+
+    def swap(self) -> None:
+        self._active, self._inactive = self._inactive, self._active
+        if self._active.size == 0:
+            raise RuntimeError("The new active worklist is empty.")
+
+
+class LoadBalancer:
+    """Work scheduling state (LoadBalancer struct, LoadBalancer.hpp:43-56)."""
+
+    def __init__(self, work_item_count: int, num_tiles: int = VIRTUAL_TILES):
+        self.work = WorkList(work_item_count)
+        self.num_tiles = num_tiles
+
+    def randomise_work_list(self, worklist: np.ndarray, seed: int = 142) -> None:
+        """Shuffle and install as the inactive list (LoadBalancer.cpp:118-139).
+
+        The reference uses mt19937 seeded with 142; we keep the fixed seed
+        for reproducibility (the exact permutation differs - this only
+        decorrelates tile assignment).
+        """
+        shuffled = worklist.copy()
+        np.random.default_rng(seed).shuffle(shuffled)
+        self.work.inactive = shuffled
+
+    def allocate_work_by_path_length(self) -> None:
+        """Deal (shortest, longest) path pairs to each virtual tile.
+
+        allocateWorkByPathLength (LoadBalancer.cpp:141-192): sorts the
+        inactive list by pathLength then alternates ends.
+        """
+        records = self.work.inactive
+        if native.load_balance(records, self.num_tiles):
+            return
+        order = np.argsort(records["pathLength"], kind="stable")
+        sorted_recs = records[order]
+        n = len(sorted_recs)
+        t = self.num_tiles
+        lo = np.arange(n // 2)
+        hi = n - 1 - lo
+        if n % (2 * t) == 0:
+            # Tile-structured deal: round r hands tile k the pair
+            # (lo[r*T+k], hi[r*T+k]); flatten tile-major like the C++.
+            rounds = n // (2 * t)
+            lo2 = lo.reshape(rounds, t).T  # (T, R)
+            hi2 = hi.reshape(rounds, t).T
+            idx = np.stack([lo2, hi2], axis=-1).reshape(-1)
+        else:
+            # Fallback: global short/long interleave.
+            idx = np.empty(n, np.int64)
+            idx[0::2] = np.arange((n + 1) // 2)
+            idx[1::2] = hi[: n // 2]
+        self.work.inactive = sorted_recs[idx]
+
+    def clear_inactive_accumulators(self) -> int:
+        """Zero accumulators, returning the pathLength sum for rays/sec.
+
+        Fused like the reference (LoadBalancer.cpp:198-213).
+        """
+        records = self.work.inactive
+        total = native.clear_and_sum_pathlengths(records)
+        if total is not None:
+            return total
+        total = int(records["pathLength"].sum())
+        records["r"] = 0
+        records["g"] = 0
+        records["b"] = 0
+        records["sampleCount"] = 0
+        records["pathLength"] = 0
+        return total
+
+    def clear_active_accumulators(self) -> None:
+        records = self.work.active
+        records["r"] = 0
+        records["g"] = 0
+        records["b"] = 0
+        records["sampleCount"] = 0
+        records["pathLength"] = 0

@@ -51,7 +51,7 @@ def _jax_streams(base_key, sample_idx, n, max_path_length, noise_type="normal"):
 def _run_pair(env_jax, env_oracle, spp=4, seed=7):
     scene = default_scene()
     oscene = oracle_scene_from(scene)
-    cfg = StaticConfig(width=W, height=H, samples_per_step=spp, max_path_length=10)
+    cfg = StaticConfig(width=W, height=H, max_path_length=10)
     settings = RenderSettings(
         fov=jnp.float32(SETTINGS["fov"]),
         aa_scale=jnp.float32(SETTINGS["aa_scale"]),
@@ -59,6 +59,7 @@ def _run_pair(env_jax, env_oracle, spp=4, seed=7):
         refractive_index=jnp.float32(SETTINGS["refractive_index"]),
         stop_prob=jnp.float32(SETTINGS["stop_prob"]),
         roulette_depth=jnp.int32(SETTINGS["roulette_depth"]),
+        samples_per_step=jnp.int32(spp),
     )
     wl = make_worklist(W, H)
     work = to_device_batch(wl)
@@ -152,8 +153,8 @@ def test_diffuse_scene_near_exact():
         materials=[M.DIFFUSE, M.DIFFUSE, M.DIFFUSE],
     )
     oscene = oracle_scene_from(scene)
-    cfg = StaticConfig(width=W, height=H, samples_per_step=4, max_path_length=10)
-    settings = RenderSettings.make()
+    cfg = StaticConfig(width=W, height=H, max_path_length=10)
+    settings = RenderSettings.make(samples_per_step=4)
     wl = make_worklist(W, H)
     key = jax.random.key(11)
     out = render_step(
@@ -183,15 +184,15 @@ def test_progressive_accumulation_consistency():
     env = ConstantEnv(colour=jnp.asarray([1.0, 1.0, 1.0]))
     wl = make_worklist(W, H)
     work = to_device_batch(wl)
-    settings = RenderSettings.make()
-    cfg1 = StaticConfig(width=W, height=H, samples_per_step=2)
+    cfg1 = StaticConfig(width=W, height=H)
+    s2 = RenderSettings.make(samples_per_step=2)
     key = jax.random.key(0)
-    out = render_step(scene, settings, cfg1, work, key, env)
-    out = render_step(scene, settings, cfg1, out, jax.random.key(1), env)
+    out = render_step(scene, s2, cfg1, work, key, env)
+    out = render_step(scene, s2, cfg1, out, jax.random.key(1), env)
     assert (np.asarray(out.sample_count) == 4).all()
     # Mean radiance from 2x2 steps should approximate a single 4-sample step:
-    cfg2 = StaticConfig(width=W, height=H, samples_per_step=4)
-    out2 = render_step(scene, settings, cfg2, to_device_batch(wl), key, env)
+    s4 = RenderSettings.make(samples_per_step=4)
+    out2 = render_step(scene, s4, cfg1, to_device_batch(wl), key, env)
     m1 = np.asarray(out.r).mean() / 4
     m2 = np.asarray(out2.r).mean() / 4
     assert abs(m1 - m2) / max(m2, 1e-6) < 0.25  # MC noise tolerance

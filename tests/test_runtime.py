@@ -1,0 +1,126 @@
+"""Runtime layer tests: worklists, load balancer, async task, CLI, config."""
+
+import numpy as np
+import pytest
+
+from ipu_path_trace_tpu.core.records import TRACE_RECORD_DTYPE, make_worklist
+from ipu_path_trace_tpu.runtime.async_task import AsyncTask
+from ipu_path_trace_tpu.runtime.cli import parse_config
+from ipu_path_trace_tpu.runtime.config import Config
+from ipu_path_trace_tpu.runtime.worklist import (
+    LoadBalancer,
+    calculate_max_rays_per_tile,
+    create_tracing_jobs,
+)
+
+
+def test_trace_record_layout():
+    assert TRACE_RECORD_DTYPE.itemsize == 20  # TraceRecord.hpp parity
+
+
+def test_max_rays_per_tile():
+    # 1104x1000 over 1472 tiles: ceil(1104000/1472) = 750 = 125*6 workers
+    assert calculate_max_rays_per_tile(1104, 1000) == 750
+    # Minimum is one per worker:
+    assert calculate_max_rays_per_tile(2, 2) == 6
+
+
+def test_create_tracing_jobs_padding():
+    wl = create_tracing_jobs(100, 100)
+    assert len(wl) % 1472 == 0
+    n = 100 * 100
+    assert (wl["u"][n:] == 0xFFFF).all()
+    assert (wl["u"][:n] != 0xFFFF).any()
+
+
+def test_load_balancer_redeal():
+    lb = LoadBalancer(24, num_tiles=4)
+    wl = np.zeros(24, TRACE_RECORD_DTYPE)
+    wl["pathLength"] = np.arange(24)
+    wl["u"] = np.arange(24)
+    lb.work.inactive = wl
+    lb.allocate_work_by_path_length()
+    out = lb.work.inactive
+    # Reference deal: tile k round r gets pair (lo[r*T+k], hi[r*T+k]);
+    # tile 0 = [(0,23),(4,19),(8,15)] flattened first.
+    assert list(out["pathLength"][:6]) == [0, 23, 4, 19, 8, 15]
+    # All work preserved:
+    assert sorted(out["pathLength"]) == list(range(24))
+
+
+def test_load_balancer_clear_and_sum():
+    lb = LoadBalancer(10)
+    wl = np.zeros(10, TRACE_RECORD_DTYPE)
+    wl["pathLength"] = 3
+    wl["r"] = 1.5
+    wl["sampleCount"] = 7
+    lb.work.inactive = wl
+    total = lb.clear_inactive_accumulators()
+    assert total == 30
+    assert (lb.work.inactive["r"] == 0).all()
+    assert (lb.work.inactive["sampleCount"] == 0).all()
+
+
+def test_worklist_swap():
+    lb = LoadBalancer(4)
+    lb.work.active["u"] = 1
+    lb.work.inactive["u"] = 2
+    lb.work.swap()
+    assert (lb.work.active["u"] == 2).all()
+
+
+def test_async_task():
+    t = AsyncTask()
+    result = []
+    t.run(lambda: result.append(1))
+    t.wait_for_completion()
+    assert result == [1]
+    # Exceptions propagate:
+    t.run(lambda: 1 / 0)
+    with pytest.raises(ZeroDivisionError):
+        t.wait_for_completion()
+    # Double-run without wait raises (AsyncTask.hpp:24-28):
+    import time
+
+    t.run(lambda: time.sleep(0.2))
+    with pytest.raises(RuntimeError):
+        t.run(lambda: None)
+    t.wait_for_completion()
+
+
+def test_cli_parity_flags():
+    cfg = parse_config(
+        [
+            "-o", "out.png", "--assets", "constant:1,1,1",
+            "-w", "512", "-H", "384", "-s", "1000", "--samples-per-step", "100",
+            "-n", "1.33", "-a", "0.5", "--fov", "60", "--seed", "42",
+            "--aa-noise-type", "uniform", "--enable-load-balancing",
+            "--max-path-length", "6", "--ipus", "2",
+        ]
+    )
+    assert cfg.width == 512 and cfg.height == 384
+    assert cfg.samples == 1000 and cfg.samples_per_step == 100
+    assert cfg.refractive_index == 1.33 and cfg.aa_noise_scale == 0.5
+    assert cfg.enable_load_balancing and cfg.max_path_length == 6
+    assert cfg.ipus == 2 and cfg.seed == 42
+
+
+def test_cli_save_load_exclusive():
+    with pytest.raises(ValueError):
+        parse_config(
+            ["-o", "o.png", "--assets", "constant:1,1,1",
+             "--save-exe", "a", "--load-exe", "b"]
+        )
+
+
+def test_cli_requires_assets_and_outfile():
+    with pytest.raises(SystemExit):
+        parse_config(["-o", "o.png"])  # missing --assets
+    with pytest.raises(SystemExit):
+        parse_config(["--assets", "constant:1,1,1"])  # missing -o
+
+
+def test_spp_rounding():
+    cfg = Config(samples=1000, samples_per_step=300, assets="constant:1,1,1")
+    # roundSamplesPerPixel: 1000 -> 1200 (PathTracerApp.cpp:19-27)
+    assert cfg.rounded_samples_per_pixel() == 1200
