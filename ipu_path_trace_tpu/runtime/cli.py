@@ -146,7 +146,21 @@ def main(argv=None) -> int:
         if cfg.compile_only:
             logger().info("Compile-only run finished.")
             return 0
-        app.execute()
+        ui_server = None
+        if cfg.ui_port:
+            # Blocks until a client connects (PathTracerApp.cpp:620-634):
+            from ..ui.server import InterfaceServer
+
+            ui_server = InterfaceServer(cfg.ui_port)
+            ui_server.start()
+            logger().info("Waiting for remote UI client to connect...")
+            ui_server.wait_for_client()
+            ui_server.initialise_video_stream(cfg.width, cfg.height)
+        try:
+            app.execute(ui_server=ui_server)
+        finally:
+            if ui_server is not None:
+                ui_server.stop()
         return 0
     except Exception as e:
         logger().error("%s", e)

@@ -1,0 +1,72 @@
+"""NIF trainer + standalone reconstruction tool tests."""
+
+import numpy as np
+import pytest
+
+from ipu_path_trace_tpu.models.nif import load_nif_assets, make_params, make_synthetic_nif
+from ipu_path_trace_tpu.models.reconstruct import reconstruct_image, uv_grid
+from ipu_path_trace_tpu.models.train_nif import encode_targets, save_assets, train_nif
+
+
+def _test_image(h=32, w=64):
+    """Smooth HDR gradient + a bright blob."""
+    rows, cols = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    img = np.stack(
+        [0.2 + rows, 0.3 + 0.5 * cols, 1.5 - rows * cols], axis=-1
+    ).astype(np.float32)
+    img[h // 4 : h // 2, w // 4 : w // 2] *= 8.0  # HDR highlight
+    return img
+
+
+def test_encode_decode_inverse():
+    img = _test_image()
+    eps = 1e-8
+    targets, mean, max_abs = encode_targets(img, eps, log_tone_map=True)
+    assert np.abs(targets).max() <= 1.0 + 1e-6
+    # Decode (the renderer's math, NifModel.cpp:221-245) must invert:
+    decoded_bgr = np.exp(targets * max_abs + (mean - eps))
+    assert np.allclose(decoded_bgr[..., ::-1], img, rtol=1e-4, atol=1e-5)
+
+
+def test_train_and_roundtrip(tmp_path):
+    """Train a tiny NIF, write reference-format assets, reload, reconstruct."""
+    img = _test_image()
+    weights, meta, loss = train_nif(
+        img,
+        layer_size=64,
+        layer_count=3,
+        embedding_dim=8,
+        skip_layer=None,
+        epochs=300,
+        batch_size=2048,
+        learning_rate=3e-3,
+        seed=1,
+    )
+    assert loss < 0.01, f"training failed to converge: loss={loss}"
+    out = str(tmp_path / "assets.extra")
+    save_assets(out, weights, meta, ["train_nif.py", "--layer-size", "64"])
+
+    # Reload through the assets-dir loader (reference schema):
+    params, meta2, _ = load_nif_assets(out)
+    assert meta2.hidden_size == 64
+    recon = reconstruct_image(params, img.shape[0], img.shape[1], max_batch_size=512)
+    # bf16 inference of a converged model: a few percent relative error
+    rel = np.abs(recon - img) / (np.abs(img) + 0.1)
+    assert np.median(rel) < 0.15, f"median rel err {np.median(rel)}"
+
+
+def test_uv_grid_matches_reference():
+    u, v = uv_grid(4, 8)
+    # Row-major: first 8 entries are row 0 (NifModel.cpp:481-487):
+    assert np.allclose(u[:8], 0.0)
+    assert np.allclose(v[:8], np.arange(8) / 8.0)
+    assert np.allclose(u[8], 1 / 4.0)
+
+
+def test_reconstruct_batch_serialisation():
+    weights, meta = make_synthetic_nif(key=7, hidden=32, num_hidden=2, embedding_dim=4)
+    params = make_params(weights, meta)
+    img1 = reconstruct_image(params, 16, 24, max_batch_size=1000)  # forces factor>1
+    img2 = reconstruct_image(params, 16, 24, max_batch_size=10**9)
+    assert img1.shape == (16, 24, 3)
+    assert np.allclose(img1, img2, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,135 @@
+"""Remote-UI protocol tests: server/client over localhost TCP."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ipu_path_trace_tpu.ui import InterfaceClient, InterfaceServer
+
+
+@pytest.fixture
+def pair():
+    server = InterfaceServer(0)  # ephemeral port
+    server.start()
+    client = InterfaceClient("127.0.0.1", server.port)
+    assert server.wait_for_client(5)
+    yield server, client
+    client.close()
+    server.stop()
+
+
+def _wait(pred, timeout=5.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+def test_state_updates(pair):
+    server, client = pair
+    client.set_fov(60.0)
+    client.set_env_rotation(45.0)
+    client.set_interactive_samples(4)
+    assert _wait(server.state_changed)
+    state = server.consume_state()
+    assert state["fov"] == 60.0
+    assert state["env_rotation"] == 45.0
+    assert state["interactive_samples"] == 4
+    assert not server.state_changed()
+
+
+def test_exposure_gamma_do_not_restart(pair):
+    """Tone-map changes must not trigger a render restart
+    (InterfaceServer.hpp:131-143)."""
+    server, client = pair
+    client.set_exposure(1.5)
+    client.set_gamma(2.4)
+    assert _wait(lambda: server.get_state()["exposure"] == 1.5)
+    assert _wait(lambda: abs(server.get_state()["gamma"] - 2.4) < 1e-6)
+    assert not server.state_changed()
+
+
+def test_stop_and_load_nif(pair):
+    server, client = pair
+    client.load_nif("/some/model/dir")
+    assert _wait(server.state_changed)
+    state = server.consume_state()
+    assert state["load_nif"] == "/some/model/dir"
+    # consumeState clears the model-load request (InterfaceServer.hpp:204-209):
+    assert server.get_state()["load_nif"] == ""
+    client.stop_render()
+    assert _wait(lambda: server.get_state()["stop"])
+
+
+def test_progress_and_sample_rate(pair):
+    server, client = pair
+    server.update_progress(5, 10)
+    server.update_sample_rate(123.0, 456.0)
+    assert _wait(lambda: abs(client.progress - 0.5) < 1e-6)
+    assert _wait(lambda: client.path_rate == 123.0 and client.ray_rate == 456.0)
+
+
+def test_preview_frame(pair):
+    server, client = pair
+    ldr = np.zeros((16, 16, 3), np.uint8)
+    ldr[:, :, 0] = 200
+    server.send_preview_image(ldr)
+    assert _wait(lambda: len(client.preview_frames) > 0)
+    # Valid JPEG roundtrip:
+    import io
+    from PIL import Image
+
+    img = np.asarray(Image.open(io.BytesIO(client.preview_frames[0])))
+    assert img.shape == (16, 16, 3)
+    assert img[..., 0].mean() > 150
+
+
+def test_raw_hdr_transfer(pair):
+    server, client = pair
+    rng = np.random.default_rng(0)
+    hdr = rng.random((12, 8, 3)).astype(np.float32)
+    assert server.start_sending_raw_image(hdr, step=1)
+    assert client.hdr_complete.wait(10)
+    assert np.allclose(client.hdr_image(), hdr)
+
+
+def test_app_integration_with_ui():
+    """Full loop: app.execute drives a connected UI client end to end."""
+    import threading
+
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+    from ipu_path_trace_tpu.runtime.config import Config
+
+    cfg = Config(
+        outfile="/tmp/ui_integration.png",
+        assets="constant:1,1,1",
+        width=16,
+        height=16,
+        samples=4,
+        samples_per_step=2,
+        interactive_samples=2,
+        ui_port=0,
+    )
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    server = InterfaceServer(0)
+    server.start()
+    client = InterfaceClient("127.0.0.1", server.port)
+    assert server.wait_for_client(5)
+    server.initialise_video_stream(cfg.width, cfg.height)
+    try:
+        t = threading.Thread(target=lambda: app.execute(ui_server=server))
+        t.start()
+        # Render runs with interactive samples; wait for progress packets:
+        assert _wait(lambda: client.progress > 0, timeout=120)
+        assert _wait(lambda: len(client.preview_frames) > 0, timeout=60)
+        client.stop_render()
+        t.join(timeout=120)
+        assert not t.is_alive()
+    finally:
+        client.close()
+        server.stop()
