@@ -31,7 +31,7 @@ def main() -> None:
     from ipu_path_trace_tpu.models.envlight import NifEnv
     from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
     from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
-    from ipu_path_trace_tpu.render.wavefront import render_step
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
 
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
@@ -43,16 +43,20 @@ def main() -> None:
     settings = RenderSettings.make(samples_per_step=SAMPLES_PER_STEP)
     work = to_device_batch(make_worklist(WIDTH, HEIGHT))
 
+    # Through tunneled device transports block_until_ready can return
+    # before execution finishes; a scalar fetch is a reliable barrier.
+    sync = jax.jit(lambda w: w.r[0] + w.b[-1])
+
     # Warmup/compile:
     t0 = time.monotonic()
-    out = render_step(scene, settings, cfg, work, jax.random.key(0), env)
-    jax.block_until_ready(out)
+    out = render_step(scene, settings, cfg, work, make_base_key(0), env)
+    float(sync(out))
     print(f"compile+first step: {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.monotonic()
     for i in range(TIMED_STEPS):
-        out = render_step(scene, settings, cfg, out, jax.random.key(i + 1), env)
-    jax.block_until_ready(out)
+        out = render_step(scene, settings, cfg, out, make_base_key(i + 1), env)
+    float(sync(out))
     secs = time.monotonic() - t0
 
     paths = WIDTH * HEIGHT * SAMPLES_PER_STEP * TIMED_STEPS

@@ -82,55 +82,126 @@ def _intersect_discs(scene: Scene, o: Vec3, d: Vec3) -> jnp.ndarray:
     return jnp.where(ok, t, _INF)
 
 
+def _sphere_t(cx, cy, cz, radius, o: Vec3, d: Vec3):
+    """Hit distance for one sphere over the ray batch (inf = miss)."""
+    ox = o.x - cx
+    oy = o.y - cy
+    oz = o.z - cz
+    b = 2.0 * (ox * d.x + oy * d.y + oz * d.z)
+    c = ox * ox + oy * oy + oz * oz - radius * radius
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    near = (-b - sq) * 0.5
+    far = (-b + sq) * 0.5
+    t = jnp.where(near > EPS, near, jnp.where(far > EPS, far, _INF))
+    return jnp.where(disc >= 0.0, t, _INF)
+
+
+def _disc_t(nx, ny, nz, cx, cy, cz, radius, o: Vec3, d: Vec3):
+    """Hit distance for one disc over the ray batch (inf = miss)."""
+    denom = d.x * nx + d.y * ny + d.z * nz
+    num = (cx - o.x) * nx + (cy - o.y) * ny + (cz - o.z) * nz
+    t = num / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    px = o.x + d.x * t - cx
+    py = o.y + d.y * t - cy
+    pz = o.z + d.z * t - cz
+    inside = px * px + py * py + pz * pz <= radius * radius
+    ok = (t > EPS) & inside & (jnp.abs(denom) > 1e-12)
+    return jnp.where(ok, t, _INF)
+
+
 def intersect_scene(scene: Scene, o: Vec3, d: Vec3) -> Hit:
     """Intersect a batch of rays with every object; keep the nearest hit.
 
     ``d`` must be normalised.  Mirrors ``scene.intersect(ray)`` advancing
     the ray to the hit point (codelets.cpp:183): ``point`` is the new ray
     origin for the next bounce.
+
+    The object loop is unrolled statically with per-lane selects - object
+    attributes are compile-time scalars broadcast over the batch, so the
+    hot loop contains NO dynamic gathers (gathers serialise badly on the
+    TPU's scatter/gather unit; the select chain stays on the VPU).
     """
     num_s = scene.num_spheres
-    parts = []
-    if num_s:
-        parts.append(_intersect_spheres(scene, o, d))
-    if scene.disc_radius.shape[0]:
-        parts.append(_intersect_discs(scene, o, d))
-    ts = jnp.concatenate(parts, axis=1)  # (P, N)
-    obj = jnp.argmin(ts, axis=1).astype(jnp.int32)  # (P,)
-    t = jnp.min(ts, axis=1)
-    valid = jnp.isfinite(t)
-    t_safe = jnp.where(valid, t, 0.0)
+    num_d = scene.disc_radius.shape[0]
+    shape = o.x.shape
+
+    best_t = jnp.full(shape, _INF)
+    best_obj = jnp.zeros(shape, jnp.int32)
+    nrm = Vec3.zeros(shape)
+    colour = Vec3.zeros(shape)
+    emission = Vec3.zeros(shape)
+    emissive = jnp.zeros(shape, bool)
+    material = jnp.zeros(shape, jnp.int32)
+
+    def take(k, t_k, n_k, closer_point_normal):
+        nonlocal best_t, best_obj, nrm, colour, emission, emissive, material
+        closer = t_k < best_t
+        best_t = jnp.where(closer, t_k, best_t)
+        best_obj = jnp.where(closer, k, best_obj)
+        nrm = n_k.where(closer, nrm) if not closer_point_normal else nrm
+        colour = Vec3(
+            jnp.where(closer, scene.colour[k, 0], colour.x),
+            jnp.where(closer, scene.colour[k, 1], colour.y),
+            jnp.where(closer, scene.colour[k, 2], colour.z),
+        )
+        emission = Vec3(
+            jnp.where(closer, scene.emission[k, 0], emission.x),
+            jnp.where(closer, scene.emission[k, 1], emission.y),
+            jnp.where(closer, scene.emission[k, 2], emission.z),
+        )
+        emissive = jnp.where(closer, scene.emissive[k], emissive)
+        material = jnp.where(closer, scene.material[k], material)
+        return closer
+
+    # Spheres: normal depends on the hit point; select the winning centre
+    # and derive the normal once at the end instead of per candidate.
+    win_c = Vec3.zeros(shape)
+    won_sphere = jnp.zeros(shape, bool)
+    for k in range(num_s):
+        cx = scene.sphere_center[k, 0]
+        cy = scene.sphere_center[k, 1]
+        cz = scene.sphere_center[k, 2]
+        t_k = _sphere_t(cx, cy, cz, scene.sphere_radius[k], o, d)
+        closer = take(k, t_k, None, closer_point_normal=True)
+        win_c = Vec3(
+            jnp.where(closer, cx, win_c.x),
+            jnp.where(closer, cy, win_c.y),
+            jnp.where(closer, cz, win_c.z),
+        )
+        won_sphere = won_sphere | closer
+
+    for j in range(num_d):
+        nx = scene.disc_normal[j, 0]
+        ny = scene.disc_normal[j, 1]
+        nz = scene.disc_normal[j, 2]
+        t_k = _disc_t(
+            nx, ny, nz,
+            scene.disc_center[j, 0], scene.disc_center[j, 1], scene.disc_center[j, 2],
+            scene.disc_radius[j], o, d,
+        )
+        ones = jnp.ones(shape)
+        closer = take(num_s + j, t_k, Vec3(nx * ones, ny * ones, nz * ones),
+                      closer_point_normal=False)
+        won_sphere = won_sphere & ~closer
+
+    valid = jnp.isfinite(best_t)
+    t_safe = jnp.where(valid, best_t, 0.0)
     point = Vec3(o.x + d.x * t_safe, o.y + d.y * t_safe, o.z + d.z * t_safe)
 
-    # Normal: sphere -> (p - c) normalised; disc -> stored unit normal.
-    is_sphere = obj < num_s
     if num_s:
-        s_idx = jnp.clip(obj, 0, num_s - 1)
-        c = scene.sphere_center[s_idx]  # (P, 3)
-        n_s = Vec3(point.x - c[:, 0], point.y - c[:, 1], point.z - c[:, 2])
-        # Safe normalise (miss lanes may be degenerate):
+        n_s = point - win_c
         inv = 1.0 / jnp.sqrt(jnp.maximum(n_s.norm2(), 1e-20))
-        n_s = n_s * inv
-    else:
-        n_s = Vec3.zeros(o.x.shape)
-    if scene.disc_radius.shape[0]:
-        d_idx = jnp.clip(obj - num_s, 0, scene.disc_radius.shape[0] - 1)
-        nd = scene.disc_normal[d_idx]
-        n_d = Vec3(nd[:, 0], nd[:, 1], nd[:, 2])
-    else:
-        n_d = Vec3.zeros(o.x.shape)
-    normal = n_s.where(is_sphere, n_d)
+        nrm = (n_s * inv).where(won_sphere, nrm)
 
-    col = scene.colour[obj]
-    emi = scene.emission[obj]
     return Hit(
         valid=valid,
-        t=t,
+        t=best_t,
         point=point,
-        normal=normal,
-        obj=obj,
-        colour=Vec3(col[:, 0], col[:, 1], col[:, 2]),
-        emission=Vec3(emi[:, 0], emi[:, 1], emi[:, 2]),
-        emissive=scene.emissive[obj],
-        material=scene.material[obj],
+        normal=nrm,
+        obj=best_obj,
+        colour=colour,
+        emission=emission,
+        emissive=emissive,
+        material=material,
     )

@@ -45,8 +45,19 @@ class NifEnv(NamedTuple):
     params: NifParams
 
 
-def eval_env(env, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
-    """Evaluate environment radiance at equirect (u, v) in [0, 1]."""
+def _pallas_available() -> bool:
+    """Fused Pallas kernel only lowers on real TPU backends."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def eval_env(env, u: jnp.ndarray, v: jnp.ndarray, use_pallas: bool = True) -> Vec3:
+    """Evaluate environment radiance at equirect (u, v) in [0, 1].
+
+    ``use_pallas`` opts the NIF variant into the fused VMEM kernel; it is
+    ANDed with backend support (the kernel only lowers on TPU).
+    """
     if isinstance(env, ConstantEnv):
         c = jnp.asarray(env.colour, jnp.float32)
         ones = jnp.ones_like(u)
@@ -54,8 +65,15 @@ def eval_env(env, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
     if isinstance(env, TextureEnv):
         return _eval_texture(env, u, v)
     if isinstance(env, NifEnv):
-        # nif_apply returns the network's native channel order; reverse it
-        # (bgr -> rgb) exactly as PostProcessEscapedRays (codelets.cpp:377-378).
+        # The network emits its native channel order; reverse it (bgr ->
+        # rgb) exactly as PostProcessEscapedRays (codelets.cpp:377-378).
+        if use_pallas and _pallas_available():
+            # Fused VMEM-resident kernel; channel-major output feeds the
+            # Vec3 rows with zero transposes (ops/nif_pallas.py).
+            from ..ops.nif_pallas import nif_apply_pallas_t
+
+            out_t = nif_apply_pallas_t(env.params, u, v)  # (3, P)
+            return Vec3(out_t[2], out_t[1], out_t[0])
         out = nif_apply(env.params, u, v)  # (P, 3)
         return Vec3(out[:, 2], out[:, 1], out[:, 0])
     raise TypeError(f"Unknown environment light type: {type(env)!r}")

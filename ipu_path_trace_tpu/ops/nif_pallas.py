@@ -1,0 +1,167 @@
+"""Fused NIF MLP inference as a Pallas TPU kernel.
+
+The whole network lives in VMEM for the duration of a ray block - the
+TPU analog of the reference evaluating the NIF entirely out of on-chip
+SRAM (reference: README.md:7-12, src/neural_networks/NifModel.cpp).
+The XLA path (models/nif.nif_apply) round-trips every (P, hidden)
+activation through HBM between layers; here each grid step encodes a
+block of UVs, runs the full matmul chain on the MXU from VMEM, decodes,
+and writes only the final radiance - HBM traffic drops from
+O(P * hidden * layers) to O(P * channels).
+
+Two TPU-specific design choices (both measured, each ~2x on v5e):
+
+* **Transposed (feature-major) data flow.**  Activations are laid out
+  ``(features, B)`` so the batch rides the 128-wide VPU lane dimension.
+  In the natural ``(B, features)`` layout every elementwise op on the
+  Fourier features uses only ``embedding_dim`` (=12) of 128 lanes.
+  Weights are therefore fed pre-transposed ``(out, in)``.
+
+* **Double-angle recurrence for the Fourier encoder.**  The reference
+  encodes ``[sin(u 2^j), sin(v 2^j), cos(u 2^j), cos(v 2^j)]`` for
+  j < embedding_dim (NifModel.cpp:185-218).  Evaluating those 4E
+  transcendentals per sample dominated the fused kernel (~45% of
+  runtime), so we evaluate sin/cos once at j=0 and produce the rest
+  with ``sin 2x = 2 sin x cos x``, ``cos 2x = 1 - 2 sin^2 x`` - 4
+  transcendentals + a few FMAs per sample, all on full-width (B,)
+  vectors.  Max observed deviation vs. the direct encode is ~1e-3
+  relative, below the bfloat16 quantisation of the weights themselves.
+
+Weights (~1 MB bf16 for the canonical 6x320 NIF) are broadcast to every
+grid step and stay VMEM-resident (constant index map).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.nif import NifParams
+
+
+def _kernel(num_layers: int, embedding_dim: int, feat_dim: int,
+            u_ref, v_ref, scal_ref, *refs):
+    w_refs = refs[:num_layers]          # (out, in) each
+    b_refs = refs[num_layers : 2 * num_layers]  # (out, 1) each
+    out_ref = refs[2 * num_layers]      # (3, B)
+
+    compute_dtype = w_refs[0].dtype
+
+    # Fourier features (NifModel.cpp:185-218): uv' = 2(uv - 1), rows
+    # [sin(u 2^j) | sin(v 2^j) | cos(u 2^j) | cos(v 2^j)] built by the
+    # double-angle recurrence (see module docstring).
+    uu = 2.0 * (u_ref[:] - 1.0)  # (B,)
+    vv = 2.0 * (v_ref[:] - 1.0)
+    su, cu = jnp.sin(uu), jnp.cos(uu)
+    sv, cv = jnp.sin(vv), jnp.cos(vv)
+    sus, cus, svs, cvs = [su], [cu], [sv], [cv]
+    for _ in range(embedding_dim - 1):
+        s, c = sus[-1], cus[-1]
+        sus.append(2.0 * s * c)
+        cus.append(1.0 - 2.0 * s * s)
+        s, c = svs[-1], cvs[-1]
+        svs.append(2.0 * s * c)
+        cvs.append(1.0 - 2.0 * s * s)
+    feats = jnp.stack(sus + svs + cus + cvs, axis=0).astype(compute_dtype)
+
+    x = feats  # (feat_dim, B)
+    for i in range(num_layers):
+        w = w_refs[i][:]
+        if x.shape[0] != w.shape[1]:  # skip-concat (NifModel.cpp:303-309)
+            x = jnp.concatenate([x, feats], axis=0)
+        x = jnp.dot(w, x, preferred_element_type=jnp.float32)
+        x = x + b_refs[i][:].astype(jnp.float32)
+        if i != num_layers - 1:
+            x = jnp.maximum(x, 0.0).astype(compute_dtype)
+
+    # Decode at f32 (NifModel.cpp:221-245): y = x*max + mean; exp if log.
+    max_v = scal_ref[0, 0]
+    mean = jnp.stack([scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3]])
+    log_flag = scal_ref[0, 4]
+    y = x.astype(jnp.float32) * max_v + mean[:, None]
+    out_ref[:] = jnp.where(log_flag > 0.5, jnp.exp(y), y)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret")
+)
+def nif_apply_pallas_t(
+    params: NifParams,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    block_size: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused NIF inference -> (3, P) float32 in network channel order.
+
+    Channel-major output so the hot path (escaped-ray shading) consumes
+    rows directly with zero transposes.
+    """
+    p = u.shape[0]
+    num_layers = len(params.kernels)
+    pad = (-p) % block_size
+    if pad:
+        u = jnp.pad(u, (0, pad))
+        v = jnp.pad(v, (0, pad))
+    n = p + pad
+    grid = (n // block_size,)
+
+    # Feature-major weight/bias layout (transposed once at trace time;
+    # ~1 MB, fused away by XLA after the first call).
+    kernels_t = [w.T for w in params.kernels]
+    biases_c = [b.reshape(-1, 1) for b in params.biases]
+
+    scal = jnp.stack(
+        [
+            params.max.astype(jnp.float32),
+            params.mean[0].astype(jnp.float32),
+            params.mean[1].astype(jnp.float32),
+            params.mean[2].astype(jnp.float32),
+            jnp.where(params.log_tone_map, 1.0, 0.0),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ]
+    ).reshape(1, 8)
+
+    feat_dim = 4 * params.embedding_dim
+    uv_spec = pl.BlockSpec((block_size,), lambda i: (i,), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_layers, params.embedding_dim, feat_dim),
+        out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            uv_spec,
+            uv_spec,
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *[full(w) for w in kernels_t],
+            *[full(b) for b in biases_c],
+        ],
+        out_specs=pl.BlockSpec(
+            (3, block_size), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(u, v, scal, *kernels_t, *biases_c)
+    return out[:, :p]
+
+
+def nif_apply_pallas(
+    params: NifParams,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    block_size: int = 4096,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for models.nif.nif_apply -> (P, 3) float32."""
+    return nif_apply_pallas_t(params, u, v, block_size, interpret).T

@@ -21,7 +21,7 @@ class StaticConfig(NamedTuple):
     height: int = 256
     max_path_length: int = 10  # --max-path-length
     aa_noise_type: str = "normal"  # --aa-noise-type
-    use_pallas: bool = False  # fused Pallas trace kernel for the hot loop
+    use_pallas: bool = True  # fused Pallas kernels (NIF env light; TPU only)
 
 
 class RenderSettings(NamedTuple):

@@ -56,6 +56,21 @@ AA_TAG = 0x0AA
 BOUNCE_TAG = 0xB0
 
 
+def make_base_key(seed: int, rng_impl: str = "auto") -> jax.Array:
+    """Base PRNG key for a render.
+
+    ``auto`` picks XLA's hardware RngBitGenerator (``rbg``) on TPU - the
+    threefry key schedule costs ~20% of the whole trace loop there - and
+    ``threefry2x32`` elsewhere, which is reproducible across backends and
+    is what the NumPy oracle replays (cpu/oracle.py).  Both are
+    counter-based, the TPU analog of poprand's per-tile streams
+    (reference: src/PathTracerApp.cpp:266-299).
+    """
+    if rng_impl == "auto":
+        rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return jax.random.key(seed, impl=rng_impl)
+
+
 def sample_key(base_key: jax.Array, sample_idx) -> jax.Array:
     return jax.random.fold_in(base_key, sample_idx)
 
@@ -192,7 +207,7 @@ def trace_one_sample(
     # FP garbage (codelets.cpp:348-352):
     u = jnp.where(state.escaped, u, 0.0)
     v = jnp.where(state.escaped, v, 0.0)
-    env_rgb = eval_env(env, u, v)
+    env_rgb = eval_env(env, u, v, use_pallas=cfg.use_pallas)
     radiance = state.radiance + state.esc_w.cwise(env_rgb)
     return radiance, state.path_len
 

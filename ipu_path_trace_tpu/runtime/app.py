@@ -32,6 +32,7 @@ from ..models.envlight import ConstantEnv, NifEnv, TextureEnv
 from ..models.nif import analyse_nif, load_nif_assets
 from ..parallel.mesh import make_mesh, make_step_fn, replicate, shard_work
 from ..render.params import RenderSettings, StaticConfig
+from ..render.wavefront import make_base_key
 from ..utils.logging import logger
 from ..utils.tracing import TraceChannel
 from .async_task import AsyncTask
@@ -201,7 +202,7 @@ class PathTracerApp:
             self.scene,
             self.settings(self.samples_per_step),
             work,
-            jax.random.key(self.cfg.seed),
+            make_base_key(self.cfg.seed, self.cfg.rng_impl),
             self.env,
         )
 
@@ -228,7 +229,7 @@ class PathTracerApp:
         if max_steps is not None:
             steps = min(steps, max_steps)
         host = AsyncTask()
-        key = jax.random.key(cfg.seed)
+        key = make_base_key(cfg.seed, cfg.rng_impl)
         total_rays = {"n": 0}
         start_time = time.monotonic()
         logger().info("Render started")

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mesh-shape", default="",
                      help="Device mesh as 'PIXELSxSAMPLES', e.g. '4x2'. Default: all chips on the pixel axis.")
     tpu.add_argument("--cache-dir", default="", help="Persistent compilation cache directory.")
+    tpu.add_argument("--rng-impl", default="auto",
+                     choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
+                     help="Counter-based PRNG: auto = hardware rbg on TPU, "
+                          "threefry2x32 (cross-backend reproducible) elsewhere.")
     return p
 
 
@@ -125,6 +129,7 @@ def parse_config(argv=None) -> Config:
         use_pallas=args.use_pallas,
         mesh_shape=args.mesh_shape,
         cache_dir=args.cache_dir,
+        rng_impl=args.rng_impl,
     )
     cfg.validate()
     return cfg

@@ -53,6 +53,7 @@ class Config:
     use_pallas: bool = True  # fused Pallas trace kernel where profitable
     mesh_shape: str = ""  # e.g. "4x2" -> pixel x sample mesh axes; "" = 1D pixels
     cache_dir: str = ""  # persistent XLA compilation cache directory
+    rng_impl: str = "auto"  # auto | threefry2x32 | rbg | unsafe_rbg
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:
