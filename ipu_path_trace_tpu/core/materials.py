@@ -86,7 +86,11 @@ def refract(d: Vec3, n: Vec3, refractive_index, rand) -> tuple[Vec3, jnp.ndarray
     eta = jnp.where(inside, n_idx, 1.0 / n_idx)  # smallpaint: n=1/n then n=1/n again when inside
     cost1 = -d.dot(nl)
     cost2 = 1.0 - eta * eta * (1.0 - cost1 * cost1)
-    rprob = r0 + (1.0 - r0) * jnp.power(1.0 - cost1, 5.0)
+    # (1 - cost1)^5 via multiplies: exact Schlick, and jnp.power does not
+    # lower in Mosaic (the fused trace kernel shares this code).
+    p1 = 1.0 - cost1
+    p2 = p1 * p1
+    rprob = r0 + (1.0 - r0) * (p2 * p2 * p1)
     do_refract = (cost2 > 0.0) & (rand > rprob)
     sqrt_cost2 = jnp.sqrt(jnp.maximum(cost2, 0.0))
     d_refr = (d * eta + nl * (eta * cost1 - sqrt_cost2)).normalized()

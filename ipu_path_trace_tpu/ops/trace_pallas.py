@@ -1,0 +1,431 @@
+"""The fused path-trace megakernel: one Pallas kernel per sample.
+
+This is the TPU answer to the reference's RayTraceKernel megakernel
+(reference: src/codelets/codelets.cpp:93-227): the ENTIRE bounce loop -
+camera ray generation, AA jitter, every intersection, BSDF event, and
+russian-roulette decision - runs inside a single Pallas kernel, so all
+per-ray state (origin, direction, throughput, radiance, masks) lives in
+VMEM/registers for all max_path_length bounces.  The XLA wavefront path
+(render/wavefront.py) re-materialises that state in HBM once per bounce
+because lax.scan iterations cannot fuse across steps; at 1.1M rays that
+is ~150 MB of HBM traffic per bounce which this kernel eliminates.
+
+Design notes:
+
+* **Scene and settings ride SMEM.**  Objects are packed into flat f32
+  scalar tables (12 floats/sphere, 15 floats/disc) and read back as
+  scalars, so the unrolled intersection loop is the same gather-free
+  select chain as core/geometry.intersect_scene.
+* **RNG is the TPU core's hardware PRNG** (pltpu.prng_seed /
+  prng_random_bits), seeded per (sample, grid block).  Uniforms are
+  drawn as 24-bit mantissa floats in (0, 1].  Normal AA jitter uses
+  Box-Muller; "truncated-normal" clips at +/-3 sigma (the XLA path uses
+  an exact inverse-CDF; for a sub-pixel jitter the difference is
+  statistically negligible).
+* **Host-RNG mode for testability.**  The hardware PRNG does not exist
+  in Pallas interpret mode, so `host_noise=True` swaps it for an input
+  array of pre-generated noise; render/wavefront.trace_sample_with_uniforms
+  consumes the identical array, giving an exact-parity oracle for tests.
+* Escaped-ray environment shading stays OUTSIDE (equirect needs atan2,
+  which Mosaic does not lower, and the NIF has its own fused kernel,
+  ops/nif_pallas.py) - mirroring the reference's deferral of env
+  lighting to Pre/PostProcessEscapedRays (codelets.cpp:312-385).
+
+Bounce semantics are render/wavefront.bounce_body, verbatim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.geometry import _disc_t, _sphere_t
+from ..core.materials import (
+    DIFFUSE_SCALE,
+    REFRACT_WEIGHT,
+    reflect,
+    refract,
+    sample_diffuse,
+)
+from ..core.scene import Scene
+from ..core.vecmath import Vec3
+
+_INF = np.float32(np.inf)  # plain numpy: jnp constants may not be closure-captured by kernels
+_SPHERE_F = 12  # cx cy cz r | cr cg cb | er eg eb | emissive material
+_DISC_F = 15  # nx ny nz cx cy cz r | cr cg cb | er eg eb | emissive material
+_TWO_PI = 2.0 * np.pi
+
+
+class TraceOut(NamedTuple):
+    radiance: Vec3
+    esc_dir: Vec3
+    esc_w: Vec3
+    escaped: jnp.ndarray  # bool
+    path_len: jnp.ndarray  # int32
+
+
+def pack_scene(scene: Scene) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Flatten the Scene pytree into SMEM scalar tables."""
+    num_s = scene.num_spheres
+    num_d = scene.disc_radius.shape[0]
+    sph = jnp.concatenate(
+        [
+            scene.sphere_center.reshape(num_s, 3),
+            scene.sphere_radius.reshape(num_s, 1),
+            scene.colour[:num_s],
+            scene.emission[:num_s],
+            scene.emissive[:num_s].astype(jnp.float32).reshape(num_s, 1),
+            scene.material[:num_s].astype(jnp.float32).reshape(num_s, 1),
+        ],
+        axis=1,
+    ).reshape(1, num_s * _SPHERE_F)
+    dsc = jnp.concatenate(
+        [
+            scene.disc_normal.reshape(num_d, 3),
+            scene.disc_center.reshape(num_d, 3),
+            scene.disc_radius.reshape(num_d, 1),
+            scene.colour[num_s:],
+            scene.emission[num_s:],
+            scene.emissive[num_s:].astype(jnp.float32).reshape(num_d, 1),
+            scene.material[num_s:].astype(jnp.float32).reshape(num_d, 1),
+        ],
+        axis=1,
+    ).reshape(1, num_d * _DISC_F)
+    return sph, dsc
+
+
+def _intersect(sph_ref, dsc_ref, num_s: int, num_d: int, o: Vec3, d: Vec3):
+    """Unrolled select-chain intersection from SMEM scalar tables.
+
+    Same math and winner-selection as core/geometry.intersect_scene.
+    Returns (valid, point, normal, colour, emission, emissive, material).
+    """
+    shape = o.x.shape
+    best_t = jnp.full(shape, _INF)
+    nrm = Vec3.zeros(shape)
+    colour = Vec3.zeros(shape)
+    emission = Vec3.zeros(shape)
+    # Kept as f32 through the select chain - Mosaic cannot select i1
+    # vectors - and compared once at the end:
+    emissive = jnp.zeros(shape, jnp.float32)
+    material = jnp.zeros(shape, jnp.float32)
+    win_c = Vec3.zeros(shape)
+    won_sphere = jnp.zeros(shape, bool)
+
+    def attrs(ref, base, closer):
+        nonlocal colour, emission, emissive, material
+        colour = Vec3(
+            jnp.where(closer, ref[0, base + 0], colour.x),
+            jnp.where(closer, ref[0, base + 1], colour.y),
+            jnp.where(closer, ref[0, base + 2], colour.z),
+        )
+        emission = Vec3(
+            jnp.where(closer, ref[0, base + 3], emission.x),
+            jnp.where(closer, ref[0, base + 4], emission.y),
+            jnp.where(closer, ref[0, base + 5], emission.z),
+        )
+        emissive = jnp.where(closer, ref[0, base + 6], emissive)
+        material = jnp.where(closer, ref[0, base + 7], material)
+
+    for k in range(num_s):
+        b = k * _SPHERE_F
+        cx, cy, cz = sph_ref[0, b], sph_ref[0, b + 1], sph_ref[0, b + 2]
+        t_k = _sphere_t(cx, cy, cz, sph_ref[0, b + 3], o, d)
+        closer = t_k < best_t
+        best_t = jnp.where(closer, t_k, best_t)
+        attrs(sph_ref, b + 4, closer)
+        win_c = Vec3(
+            jnp.where(closer, cx, win_c.x),
+            jnp.where(closer, cy, win_c.y),
+            jnp.where(closer, cz, win_c.z),
+        )
+        won_sphere = won_sphere | closer
+
+    for j in range(num_d):
+        b = j * _DISC_F
+        nx, ny, nz = dsc_ref[0, b], dsc_ref[0, b + 1], dsc_ref[0, b + 2]
+        t_k = _disc_t(
+            nx, ny, nz,
+            dsc_ref[0, b + 3], dsc_ref[0, b + 4], dsc_ref[0, b + 5],
+            dsc_ref[0, b + 6], o, d,
+        )
+        closer = t_k < best_t
+        best_t = jnp.where(closer, t_k, best_t)
+        attrs(dsc_ref, b + 7, closer)
+        ones = jnp.ones(shape)
+        nrm = Vec3(nx * ones, ny * ones, nz * ones).where(closer, nrm)
+        won_sphere = won_sphere & ~closer
+
+    valid = best_t < _INF
+    t_safe = jnp.where(valid, best_t, 0.0)
+    point = Vec3(o.x + d.x * t_safe, o.y + d.y * t_safe, o.z + d.z * t_safe)
+    if num_s:
+        n_s = point - win_c
+        inv = 1.0 / jnp.sqrt(jnp.maximum(n_s.norm2(), 1e-20))
+        nrm = (n_s * inv).where(won_sphere, nrm)
+    return valid, point, nrm, colour, emission, emissive > 0.5, material
+
+
+def _kernel(
+    num_s: int,
+    num_d: int,
+    max_path_length: int,
+    width: int,
+    height: int,
+    aa_noise_type: str,
+    host_noise: bool,
+    # refs:
+    fpar_ref,  # SMEM (1, 8) f32: tanfov_x tanfov_y aa_scale refr stop_prob
+    ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed
+    sph_ref,  # SMEM (1, num_s*12)
+    dsc_ref,  # SMEM (1, num_d*15)
+    cols_ref,  # VMEM (B,)
+    rows_ref,  # VMEM (B,)
+    *refs,  # [noise_ref if host_noise] + 6 outputs
+):
+    if host_noise:
+        noise_ref = refs[0]
+        outs = refs[1:]
+    else:
+        noise_ref = None
+        outs = refs
+    rad_ref, escd_ref, escw_ref, escm_ref, plen_ref = outs
+
+    shape = cols_ref.shape
+    n = shape[0]
+    tanfov_x = fpar_ref[0, 0]
+    tanfov_y = fpar_ref[0, 1]
+    aa_scale = fpar_ref[0, 2]
+    refr_index = fpar_ref[0, 3]
+    stop_prob = fpar_ref[0, 4]
+    roulette_depth = ipar_ref[0, 0]
+
+    if not host_noise:
+        pltpu.prng_seed(ipar_ref[0, 1], pl.program_id(0))
+
+    def uniform():
+        """One (n,) uniform draw in (0, 1] (24-bit mantissa).
+
+        Drawn rank-2 (Mosaic requires it) then flattened."""
+        bits = pltpu.bitcast(pltpu.prng_random_bits((8, n // 8)), jnp.uint32)
+        # Logical shift as uint32 clears the sign bit, so the bitcast back
+        # to int32 is value-preserving (Mosaic cannot cast uint32 -> f32):
+        top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        u = (top24.astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))
+        return u.reshape(n)
+
+    def aa_jitter():
+        if host_noise:
+            return noise_ref[0, :], noise_ref[1, :]
+        if aa_noise_type == "uniform":
+            return 2.0 * uniform() - 1.0, 2.0 * uniform() - 1.0
+        # Box-Muller pair:
+        u1, u2 = uniform(), uniform()
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        z1 = r * jnp.cos(_TWO_PI * u2)
+        z2 = r * jnp.sin(_TWO_PI * u2)
+        if aa_noise_type == "truncated-normal":
+            z1 = jnp.clip(z1, -3.0, 3.0)
+            z2 = jnp.clip(z2, -3.0, 3.0)
+        return z1, z2
+
+    # --- camera ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
+    a1, a2 = aa_jitter()
+    c = cols_ref[:] + aa_scale * a1
+    r = rows_ref[:] + aa_scale * a2
+    w = jnp.float32(width)
+    h = jnp.float32(height)
+    dx = ((2.0 * c - w) / w) * tanfov_x
+    dy = -((2.0 * r - h) / h) * tanfov_y
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + 1.0)
+    d = Vec3(dx * inv, dy * inv, -inv)
+    o = Vec3.zeros(shape)
+
+    throughput = Vec3.full(shape, 1.0, 1.0, 1.0)
+    radiance = Vec3.zeros(shape)
+    alive = jnp.ones(shape, bool)
+    esc_dir = Vec3.zeros(shape)
+    esc_w = Vec3.zeros(shape)
+    escaped = jnp.zeros(shape, bool)
+    path_len = jnp.zeros(shape, jnp.int32)
+
+    one = Vec3.full(shape, 1.0, 1.0, 1.0)
+
+    # --- bounce loop, fully unrolled; semantics = wavefront.bounce_body ---
+    for bounce_idx in range(max_path_length):
+        if host_noise:
+            base = 2 + 4 * bounce_idx
+            rr_rand = noise_ref[base + 0, :]
+            u1 = noise_ref[base + 1, :]
+            u2 = noise_ref[base + 2, :]
+            fresnel_rand = noise_ref[base + 3, :]
+        else:
+            rr_rand, u1, u2, fresnel_rand = (
+                uniform(), uniform(), uniform(), uniform()
+            )
+
+        rr_on = jnp.int32(bounce_idx) >= roulette_depth
+        rr_stop = rr_on & (rr_rand <= stop_prob)
+        rr_factor = jnp.where(rr_on, 1.0 / (1.0 - stop_prob), 1.0)
+        alive = alive & ~rr_stop
+
+        valid, point, normal, colr, emis, emissive, material = _intersect(
+            sph_ref, dsc_ref, num_s, num_d, o, d
+        )
+
+        escaped_now = alive & ~valid
+        esc_dir = d.where(escaped_now, esc_dir)
+        esc_w = (throughput * rr_factor).where(escaped_now, esc_w)
+        escaped = escaped | escaped_now
+
+        emit_now = alive & valid & emissive
+        emit_add = throughput.cwise(emis) * rr_factor
+        radiance = radiance + emit_add.where(emit_now, Vec3.zeros(shape))
+
+        alive = alive & valid & ~emissive
+
+        d_diff, cos_theta = sample_diffuse(normal, u1, u2)
+        d_spec = reflect(d, normal)
+        d_refr, refracted = refract(d, normal, refr_index, fresnel_rand)
+
+        is_diff = material < 0.5
+        is_spec = (material >= 0.5) & (material < 1.5)
+        new_d = d_diff.where(is_diff, d_spec.where(is_spec, d_refr))
+
+        w_diff = colr * (cos_theta * DIFFUSE_SCALE * rr_factor)
+        w_spec = one * rr_factor
+        tint = colr.where(refracted, one)
+        w_refr = tint * (REFRACT_WEIGHT * rr_factor)
+        scale = w_diff.where(is_diff, w_spec.where(is_spec, w_refr))
+
+        throughput = throughput.cwise(scale).where(alive, throughput)
+        o = point.where(alive, o)
+        d = new_d.where(alive, d)
+
+        pushed = escaped_now | emit_now | alive
+        path_len = path_len + pushed.astype(jnp.int32)
+
+    rad_ref[:] = jnp.stack([radiance.x, radiance.y, radiance.z], axis=0)
+    escd_ref[:] = jnp.stack([esc_dir.x, esc_dir.y, esc_dir.z], axis=0)
+    escw_ref[:] = jnp.stack([esc_w.x, esc_w.y, esc_w.z], axis=0)
+    escm_ref[:] = escaped.astype(jnp.int32).reshape(1, n)
+    plen_ref[:] = path_len.reshape(1, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_path_length", "aa_noise_type",
+        "block_size", "interpret",
+    ),
+)
+def trace_sample_pallas(
+    scene: Scene,
+    settings,  # RenderSettings (avoids a circular import)
+    cols: jnp.ndarray,  # (P,) f32 pixel columns
+    rows: jnp.ndarray,  # (P,) f32 pixel rows
+    seed: jnp.ndarray,  # () int32 per-sample seed (or noise array, see below)
+    *,
+    width: int,
+    height: int,
+    max_path_length: int,
+    aa_noise_type: str = "normal",
+    block_size: int = 8192,
+    interpret: bool = False,
+) -> TraceOut:
+    """Trace one sample per pixel through the fused megakernel.
+
+    ``seed`` is a scalar int32 in hardware-RNG mode.  If instead an
+    array of shape (2 + 4 * max_path_length, P) is passed, the kernel
+    runs in host-noise mode and consumes it ([0:2] = AA jitter,
+    [2+4i : 6+4i] = bounce-i uniforms) - the layout of
+    render/wavefront.trace_sample_with_uniforms.
+    """
+    p = cols.shape[0]
+    host_noise = getattr(seed, "ndim", 0) == 2
+    pad = (-p) % block_size
+    if pad:
+        cols = jnp.pad(cols, (0, pad))
+        rows = jnp.pad(rows, (0, pad))
+        if host_noise:
+            seed = jnp.pad(seed, ((0, 0), (0, pad)))
+    n = p + pad
+    grid = (n // block_size,)
+
+    num_s = scene.num_spheres
+    num_d = scene.disc_radius.shape[0]
+    sph, dsc = pack_scene(scene)
+
+    half_fov = settings.fov * 0.5
+    fpar = jnp.stack(
+        [
+            jnp.tan(half_fov),
+            jnp.tan((float(height) / float(width)) * half_fov),
+            settings.aa_scale,
+            settings.refractive_index,
+            settings.stop_prob,
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ]
+    ).reshape(1, 8)
+    ipar = jnp.stack(
+        [
+            settings.roulette_depth.astype(jnp.int32),
+            (jnp.zeros((), jnp.int32) if host_noise else seed.astype(jnp.int32)),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        ]
+    ).reshape(1, 4)
+
+    smem = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.SMEM
+    )
+    vec = pl.BlockSpec((block_size,), lambda i: (i,), memory_space=pltpu.VMEM)
+    row_out = lambda rows_: pl.BlockSpec(
+        (rows_, block_size), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [smem(fpar), smem(ipar), smem(sph), smem(dsc), vec, vec]
+    inputs = [fpar, ipar, sph, dsc, cols, rows]
+    if host_noise:
+        in_specs.append(
+            pl.BlockSpec(
+                (seed.shape[0], block_size), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(seed)
+
+    rad, escd, escw, escm, plen = pl.pallas_call(
+        functools.partial(
+            _kernel, num_s, num_d, max_path_length, width, height,
+            aa_noise_type, host_noise,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(row_out(3), row_out(3), row_out(3), row_out(1), row_out(1)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*inputs)
+
+    return TraceOut(
+        radiance=Vec3(rad[0, :p], rad[1, :p], rad[2, :p]),
+        esc_dir=Vec3(escd[0, :p], escd[1, :p], escd[2, :p]),
+        esc_w=Vec3(escw[0, :p], escw[1, :p], escw[2, :p]),
+        escaped=escm[0, :p] > 0,
+        path_len=plen[0, :p],
+    )

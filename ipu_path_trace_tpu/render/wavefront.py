@@ -93,6 +93,123 @@ class _BounceState(NamedTuple):
     path_len: jnp.ndarray  # int32 pushes (reference pathLength semantics)
 
 
+def initial_state(o: Vec3, d: Vec3, n: int) -> _BounceState:
+    return _BounceState(
+        o=o,
+        d=d,
+        throughput=Vec3.full((n,), 1.0, 1.0, 1.0),
+        radiance=Vec3.zeros((n,)),
+        alive=jnp.ones((n,), bool),
+        esc_dir=Vec3.zeros((n,)),
+        esc_w=Vec3.zeros((n,)),
+        escaped=jnp.zeros((n,), bool),
+        path_len=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def bounce_body(
+    scene: Scene, settings: RenderSettings, state: _BounceState, rnd, bounce_idx
+) -> _BounceState:
+    """One wavefront bounce over the whole batch with masked lanes.
+
+    ``rnd`` is (4, n): [rr, bsdf_u1, bsdf_u2, fresnel].  Shared by the
+    lax.scan driver (trace_one_sample), the injected-uniforms driver
+    (trace_sample_with_uniforms), and mirrored inside the fused Pallas
+    trace kernel (ops/trace_pallas.py).
+    """
+    n = state.o.x.shape[0]
+    rr_rand, u1, u2, fresnel_rand = rnd[0], rnd[1], rnd[2], rnd[3]
+
+    # Russian roulette (codelets.cpp:175-180): kicks in at
+    # depth >= roulette_depth; survivors weighted by 1/(1-p).
+    rr_on = bounce_idx >= settings.roulette_depth
+    rr_stop = rr_on & (rr_rand <= settings.stop_prob)
+    rr_factor = jnp.where(rr_on, 1.0 / (1.0 - settings.stop_prob), 1.0)
+    alive = state.alive & ~rr_stop
+
+    hit = intersect_scene(scene, state.o, state.d)
+
+    # Escaped rays: record direction + weighted throughput for the
+    # deferred environment lookup (codelets.cpp:185-189).
+    escaped_now = alive & ~hit.valid
+    esc_dir = state.d.where(escaped_now, state.esc_dir)
+    esc_w = (state.throughput * rr_factor).where(escaped_now, state.esc_w)
+    escaped = state.escaped | escaped_now
+
+    # Emitters terminate the path (codelets.cpp:192-196):
+    emit_now = alive & hit.valid & hit.emissive
+    emit_add = state.throughput.cwise(hit.emission) * rr_factor
+    radiance = state.radiance + emit_add.where(emit_now, Vec3.zeros((n,)))
+
+    alive = alive & hit.valid & ~hit.emissive
+
+    # BSDF sampling with masked lanes (codelets.cpp:198-213):
+    d_diff, cos_theta = sample_diffuse(hit.normal, u1, u2)
+    d_spec = reflect(state.d, hit.normal)
+    d_refr, refracted = refract(
+        state.d, hit.normal, settings.refractive_index, fresnel_rand
+    )
+
+    is_diff = hit.material == int(Material.DIFFUSE)
+    is_spec = hit.material == int(Material.SPECULAR)
+    new_d = d_diff.where(is_diff, d_spec.where(is_spec, d_refr))
+
+    one = Vec3.full((n,), 1.0, 1.0, 1.0)
+    # Throughput multipliers (contribution weights of codelets.cpp:198-213
+    # applied forwards):
+    w_diff = hit.colour * (cos_theta * DIFFUSE_SCALE * rr_factor)
+    w_spec = one * rr_factor
+    tint = hit.colour.where(refracted, one)
+    w_refr = tint * (REFRACT_WEIGHT * rr_factor)
+    scale = w_diff.where(is_diff, w_spec.where(is_spec, w_refr))
+
+    throughput = state.throughput.cwise(scale).where(alive, state.throughput)
+    new_o = hit.point.where(alive, state.o)
+    new_d = new_d.where(alive, state.d)
+
+    # pathLength counts stack pushes: one per scatter/terminal event
+    # (TraceRecord semantics via resizeContributionArray,
+    # WrappedArray.hpp:45-68, codelets.cpp:253).
+    pushed = escaped_now | emit_now | alive
+    path_len = state.path_len + pushed.astype(jnp.int32)
+
+    return _BounceState(
+        o=new_o,
+        d=new_d,
+        throughput=throughput,
+        radiance=radiance,
+        alive=alive,
+        esc_dir=esc_dir,
+        esc_w=esc_w,
+        escaped=escaped,
+        path_len=path_len,
+    )
+
+
+def trace_sample_with_uniforms(
+    scene: Scene,
+    settings: RenderSettings,
+    cfg: StaticConfig,
+    cols: jnp.ndarray,
+    rows: jnp.ndarray,
+    aa: jnp.ndarray,  # (2, P) anti-alias jitter (already distributed)
+    uniforms: jnp.ndarray,  # (L, 4, P) per-bounce uniforms
+) -> _BounceState:
+    """Statically-unrolled trace with injected randomness.
+
+    The exact-parity twin of the fused Pallas kernel's host-RNG mode
+    (ops/trace_pallas.py) - both consume identical noise, so results
+    match to float-associativity.
+    """
+    c = cols + settings.aa_scale * aa[0]
+    r = rows + settings.aa_scale * aa[1]
+    d = pixel_to_ray(c, r, cfg.width, cfg.height, settings.fov).normalized()
+    state = initial_state(Vec3.zeros(cols.shape), d, cols.shape[0])
+    for i in range(cfg.max_path_length):
+        state = bounce_body(scene, settings, state, uniforms[i], i)
+    return state
+
+
 def trace_one_sample(
     scene: Scene,
     settings: RenderSettings,
@@ -105,101 +222,37 @@ def trace_one_sample(
     """Trace one sample per worklist entry; returns (radiance, path_len)."""
     n = cols.shape[0]
 
-    # --- ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
-    kaa = jax.random.fold_in(skey, AA_TAG)
-    noise = aa_noise(kaa, (2, n), cfg.aa_noise_type)
-    c = cols + settings.aa_scale * noise[0]
-    r = rows + settings.aa_scale * noise[1]
-    d = pixel_to_ray(c, r, cfg.width, cfg.height, settings.fov).normalized()
-    o = Vec3.zeros((n,))
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        # Fused megakernel: per-ray state stays in VMEM for the whole
+        # bounce loop (ops/trace_pallas.py).  Seeded per sample from the
+        # fold_in key so samples stay independent.
+        from ..ops.trace_pallas import trace_sample_pallas
 
-    state = _BounceState(
-        o=o,
-        d=d,
-        throughput=Vec3.full((n,), 1.0, 1.0, 1.0),
-        radiance=Vec3.zeros((n,)),
-        alive=jnp.ones((n,), bool),
-        esc_dir=Vec3.zeros((n,)),
-        esc_w=Vec3.zeros((n,)),
-        escaped=jnp.zeros((n,), bool),
-        path_len=jnp.zeros((n,), jnp.int32),
-    )
-
-    def bounce(state: _BounceState, bounce_idx):
-        rnd = bounce_uniforms(skey, bounce_idx, n)
-        rr_rand, u1, u2, fresnel_rand = rnd[0], rnd[1], rnd[2], rnd[3]
-
-        # Russian roulette (codelets.cpp:175-180): kicks in at
-        # depth >= roulette_depth; survivors weighted by 1/(1-p).
-        rr_on = bounce_idx >= settings.roulette_depth
-        rr_stop = rr_on & (rr_rand <= settings.stop_prob)
-        rr_factor = jnp.where(rr_on, 1.0 / (1.0 - settings.stop_prob), 1.0)
-        alive = state.alive & ~rr_stop
-
-        hit = intersect_scene(scene, state.o, state.d)
-
-        # Escaped rays: record direction + weighted throughput for the
-        # deferred environment lookup (codelets.cpp:185-189).
-        escaped_now = alive & ~hit.valid
-        esc_dir = state.d.where(escaped_now, state.esc_dir)
-        esc_w = (state.throughput * rr_factor).where(escaped_now, state.esc_w)
-        escaped = state.escaped | escaped_now
-
-        # Emitters terminate the path (codelets.cpp:192-196):
-        emit_now = alive & hit.valid & hit.emissive
-        emit_add = state.throughput.cwise(hit.emission) * rr_factor
-        radiance = state.radiance + emit_add.where(emit_now, Vec3.zeros((n,)))
-
-        alive = alive & hit.valid & ~hit.emissive
-
-        # BSDF sampling with masked lanes (codelets.cpp:198-213):
-        d_diff, cos_theta = sample_diffuse(hit.normal, u1, u2)
-        d_spec = reflect(state.d, hit.normal)
-        d_refr, refracted = refract(
-            state.d, hit.normal, settings.refractive_index, fresnel_rand
+        seed = jax.random.bits(skey, (), jnp.uint32).astype(jnp.int32)
+        state = trace_sample_pallas(
+            scene, settings, cols, rows, seed,
+            width=cfg.width, height=cfg.height,
+            max_path_length=cfg.max_path_length,
+            aa_noise_type=cfg.aa_noise_type,
         )
+    else:
+        # --- ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
+        kaa = jax.random.fold_in(skey, AA_TAG)
+        noise = aa_noise(kaa, (2, n), cfg.aa_noise_type)
+        c = cols + settings.aa_scale * noise[0]
+        r = rows + settings.aa_scale * noise[1]
+        d = pixel_to_ray(c, r, cfg.width, cfg.height, settings.fov).normalized()
+        o = Vec3.zeros((n,))
 
-        is_diff = hit.material == int(Material.DIFFUSE)
-        is_spec = hit.material == int(Material.SPECULAR)
-        new_d = d_diff.where(is_diff, d_spec.where(is_spec, d_refr))
+        state = initial_state(o, d, n)
 
-        one = Vec3.full((n,), 1.0, 1.0, 1.0)
-        # Throughput multipliers (contribution weights of codelets.cpp:198-213
-        # applied forwards):
-        w_diff = hit.colour * (cos_theta * DIFFUSE_SCALE * rr_factor)
-        w_spec = one * rr_factor
-        tint = hit.colour.where(refracted, one)
-        w_refr = tint * (REFRACT_WEIGHT * rr_factor)
-        scale = w_diff.where(is_diff, w_spec.where(is_spec, w_refr))
+        def bounce(state: _BounceState, bounce_idx):
+            rnd = bounce_uniforms(skey, bounce_idx, n)
+            return bounce_body(scene, settings, state, rnd, bounce_idx), None
 
-        throughput = state.throughput.cwise(scale).where(alive, state.throughput)
-        new_o = hit.point.where(alive, state.o)
-        new_d = new_d.where(alive, state.d)
-
-        # pathLength counts stack pushes: one per scatter/terminal event
-        # (TraceRecord semantics via resizeContributionArray,
-        # WrappedArray.hpp:45-68, codelets.cpp:253).
-        pushed = escaped_now | emit_now | alive
-        path_len = state.path_len + pushed.astype(jnp.int32)
-
-        return (
-            _BounceState(
-                o=new_o,
-                d=new_d,
-                throughput=throughput,
-                radiance=radiance,
-                alive=alive,
-                esc_dir=esc_dir,
-                esc_w=esc_w,
-                escaped=escaped,
-                path_len=path_len,
-            ),
-            None,
+        state, _ = jax.lax.scan(
+            bounce, state, jnp.arange(cfg.max_path_length, dtype=jnp.int32)
         )
-
-    state, _ = jax.lax.scan(
-        bounce, state, jnp.arange(cfg.max_path_length, dtype=jnp.int32)
-    )
 
     # --- deferred environment lighting (codelets.cpp:312-385) ---
     u, v = equirect_uv(state.esc_dir, settings.azimuth)
