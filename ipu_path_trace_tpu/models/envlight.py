@@ -79,6 +79,52 @@ def eval_env(env, u: jnp.ndarray, v: jnp.ndarray, use_pallas: bool = True) -> Ve
     raise TypeError(f"Unknown environment light type: {type(env)!r}")
 
 
+def bake_nif_env(
+    env: NifEnv,
+    height: int = 2048,
+    width: int = 4096,
+    use_pallas: bool = True,
+) -> TextureEnv:
+    """Decode the NIF once into an equirect texture (TPU-first mode).
+
+    The reference evaluates the MLP inside the render loop because an
+    IPU tile cannot hold the decoded HDRI - compressing it into ~1 MB of
+    weights IS the point there (README.md:7-12).  A TPU has tens of GB
+    of HBM, so this mode decodes once (~8.4M evals, the cost of ~8
+    render samples) and serves escaped rays with bilinear lookups.
+    Azimuth rotation needs no re-bake - it enters through equirect_uv
+    before the lookup, exactly as it enters the NIF's input.
+
+    Measured on v5e, however, the fused in-loop MLP WINS (102 vs 22
+    Mpaths/s at 1104x1000): four bilinear gathers per ray from a 100 MB
+    HBM texture serialise on the scatter/gather unit, while the MXU
+    chews through the 1 MB MLP from VMEM.  The NIF's
+    compress-into-compute trade is TPU-optimal too, so fused stays the
+    default; baked remains useful for cheap env models on CPU or for
+    debugging.
+
+    The grid is laid on the lookup lattice (u_k = k/(h-1)) so
+    eval_env(TextureEnv) reproduces eval_env(NifEnv) exactly at lattice
+    points and bilinearly in between.  Selected with --nif-mode=baked;
+    the default remains the fused in-loop MLP for reference parity.
+    """
+    import jax
+
+    u = jnp.repeat(jnp.linspace(0.0, 1.0, height), width)
+    v = jnp.tile(jnp.linspace(0.0, 1.0, width), height)
+    if use_pallas and _pallas_available():
+        from ..ops.nif_pallas import nif_apply_pallas_t
+
+        out_t = nif_apply_pallas_t(env.params, u, v)  # (3, P) native order
+        rgb = jnp.stack([out_t[2], out_t[1], out_t[0]], axis=-1)
+    else:
+        out = jax.jit(nif_apply)(env.params, u, v)  # (P, 3)
+        rgb = out[:, ::-1]
+    return TextureEnv(
+        texture=rgb.reshape(height, width, 3), bilinear=True
+    )
+
+
 def _eval_texture(env: TextureEnv, u, v) -> Vec3:
     tex = env.texture
     h, w = tex.shape[0], tex.shape[1]

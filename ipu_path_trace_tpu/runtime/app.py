@@ -123,6 +123,22 @@ class PathTracerApp:
             logger().info("NIF hidden size: %d", info["hidden_size"])
             logger().info("NIF model FLOPS: %d", info["flops"])
             logger().info("NIF parameter size: %.1f KiB", info["parameters_kib"])
+            if self.cfg.nif_mode == "baked":
+                from ..models.envlight import bake_nif_env
+
+                h, w = (meta.image_shape[:2] if len(meta.image_shape) >= 2
+                        else (2048, 4096))
+                t0 = time.monotonic()
+                self.env = bake_nif_env(
+                    self.env, int(h), int(w), use_pallas=self.cfg.use_pallas
+                )
+                import jax
+
+                jax.block_until_ready(self.env.texture)
+                logger().info(
+                    "Baked NIF env to %dx%d texture in %.2fs (--nif-mode=baked)",
+                    int(h), int(w), time.monotonic() - t0,
+                )
         return True
 
     # ------------------------------------------------------------------

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mesh-shape", default="",
                      help="Device mesh as 'PIXELSxSAMPLES', e.g. '4x2'. Default: all chips on the pixel axis.")
     tpu.add_argument("--cache-dir", default="", help="Persistent compilation cache directory.")
+    tpu.add_argument("--nif-mode", default="fused", choices=["fused", "baked"],
+                     help="fused: NIF MLP evaluated inside the render loop "
+                          "(reference semantics); baked: decode the NIF once "
+                          "to an equirect texture and use bilinear lookups "
+                          "(TPU-first; much faster, azimuth needs no re-bake).")
     tpu.add_argument("--rng-impl", default="auto",
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "
@@ -130,6 +135,7 @@ def parse_config(argv=None) -> Config:
         mesh_shape=args.mesh_shape,
         cache_dir=args.cache_dir,
         rng_impl=args.rng_impl,
+        nif_mode=args.nif_mode,
     )
     cfg.validate()
     return cfg

@@ -54,6 +54,10 @@ class Config:
     mesh_shape: str = ""  # e.g. "4x2" -> pixel x sample mesh axes; "" = 1D pixels
     cache_dir: str = ""  # persistent XLA compilation cache directory
     rng_impl: str = "auto"  # auto | threefry2x32 | rbg | unsafe_rbg
+    # fused: MLP evaluated in-loop (reference semantics); baked: decode the
+    # NIF once to an equirect texture and serve lookups (TPU-first; HBM is
+    # plentiful, unlike IPU SRAM where compressing the HDRI was the point).
+    nif_mode: str = "fused"  # fused | baked
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:

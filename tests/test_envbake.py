@@ -1,0 +1,56 @@
+"""Baked-NIF environment mode: texture lookups reproduce the fused MLP.
+
+--nif-mode=baked decodes the NIF once to an equirect texture
+(models/envlight.bake_nif_env).  At lattice points the lookup is the MLP
+value exactly; between texels it is bilinear, so agreement tightens as
+the bake resolution rises.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ipu_path_trace_tpu.models.envlight import NifEnv, bake_nif_env, eval_env
+from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
+
+
+def _env(embedding_dim=12):
+    # A random-weight NIF is full of content at 2^(E-1) cycles; tests that
+    # sample between texels use a band-limited net the bake grid resolves.
+    weights, meta = make_synthetic_nif(
+        key=3, hidden=64, num_hidden=3, embedding_dim=embedding_dim
+    )
+    return NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+
+
+def test_bake_exact_at_lattice():
+    env = _env()
+    baked = bake_nif_env(env, height=64, width=128, use_pallas=False)
+    rows = np.arange(64, dtype=np.float32) / 63.0
+    cols = np.arange(0, 128, 7, dtype=np.float32) / 127.0
+    u = jnp.asarray(np.repeat(rows, cols.size))
+    v = jnp.asarray(np.tile(cols, rows.size))
+    ref = eval_env(env, u, v, use_pallas=False)
+    out = eval_env(baked, u, v)
+    # The bake jits nif_apply while the direct path here is unjitted;
+    # XLA fusion flips bf16 rounding on a few percent of elements, so
+    # "exact" means exact up to one bf16 ulp through the decode.
+    for c in "xyz":
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, c)), np.asarray(getattr(ref, c)),
+            rtol=4e-2, atol=2e-3, err_msg=c,
+        )
+
+
+def test_bake_close_between_lattice():
+    env = _env(embedding_dim=6)
+    baked = bake_nif_env(env, height=256, width=512, use_pallas=False)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.uniform(0, 1, 2000).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, 2000).astype(np.float32))
+    ref = eval_env(env, u, v, use_pallas=False)
+    out = eval_env(baked, u, v)
+    ref_np = np.stack([np.asarray(ref.x), np.asarray(ref.y), np.asarray(ref.z)])
+    out_np = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)])
+    scale = np.abs(ref_np).max()
+    rmse = np.sqrt(np.mean((out_np - ref_np) ** 2)) / scale
+    assert rmse < 2e-2, rmse
