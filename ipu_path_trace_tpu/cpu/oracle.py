@@ -222,6 +222,9 @@ def trace_sample_oracle(
     aa,  # (2, P) jitter noise
     uniforms,  # (L, 4, P) per-bounce [rr, u1, u2, fresnel]
     env,
+    lens=None,  # (2, P) lens-disk uniforms; None = pinhole
+    aperture=0.0,
+    focal_distance=1.0,
 ):
     """Trace one sample per pixel; returns (radiance (P,3), path_len (P,))."""
     p = cols.shape[0]
@@ -229,6 +232,16 @@ def trace_sample_oracle(
     r = rows.astype(np.float32) + aa_scale * aa[1]
     d = _camera_rays(c, r, float(width), float(height), fov)
     o = np.zeros((p, 3), np.float32)
+    if lens is not None:
+        # Thin-lens DoF (wavefront.apply_thin_lens): jitter the origin on
+        # an aperture disk and refocus through the plane z = -focal.
+        lr = aperture * np.sqrt(lens[0])
+        lphi = 2.0 * np.pi * lens[1]
+        o[:, 0] = lr * np.cos(lphi)
+        o[:, 1] = lr * np.sin(lphi)
+        t_f = focal_distance / np.maximum(-d[:, 2], 1e-8)
+        fd = d * t_f[:, None] - o
+        d = fd / np.linalg.norm(fd, axis=1, keepdims=True)
     throughput = np.ones((p, 3), np.float32)
     radiance = np.zeros((p, 3), np.float32)
     alive = np.ones(p, bool)

@@ -204,6 +204,8 @@ def _kernel(
     aa_scale = fpar_ref[0, 2]
     refr_index = fpar_ref[0, 3]
     stop_prob = fpar_ref[0, 4]
+    aperture = fpar_ref[0, 5]
+    focal = fpar_ref[0, 6]
     roulette_depth = ipar_ref[0, 0]
 
     if not host_noise:
@@ -245,7 +247,23 @@ def _kernel(
     dy = -((2.0 * r - h) / h) * tanfov_y
     inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + 1.0)
     d = Vec3(dx * inv, dy * inv, -inv)
-    o = Vec3.zeros(shape)
+
+    # Thin-lens DoF (wavefront.apply_thin_lens; pinhole when aperture=0):
+    if host_noise:
+        l1, l2 = noise_ref[2, :], noise_ref[3, :]
+    else:
+        l1, l2 = uniform(), uniform()
+    lr = aperture * jnp.sqrt(l1)
+    lphi = _TWO_PI * l2
+    lx = lr * jnp.cos(lphi)
+    ly = lr * jnp.sin(lphi)
+    t_f = focal / jnp.maximum(-d.z, 1e-8)
+    fd = Vec3(d.x * t_f - lx, d.y * t_f - ly, d.z * t_f)
+    finv = 1.0 / jnp.sqrt(jnp.maximum(fd.norm2(), 1e-20))
+    # Pinhole stays bit-exact when aperture == 0 (scalar select):
+    dof = aperture > 0.0
+    o = Vec3(lx, ly, jnp.zeros(shape)).where(dof, Vec3.zeros(shape))
+    d = (fd * finv).where(dof, d)
 
     throughput = Vec3.full(shape, 1.0, 1.0, 1.0)
     radiance = Vec3.zeros(shape)
@@ -260,7 +278,7 @@ def _kernel(
     # --- bounce loop, fully unrolled; semantics = wavefront.bounce_body ---
     for bounce_idx in range(max_path_length):
         if host_noise:
-            base = 2 + 4 * bounce_idx
+            base = 4 + 4 * bounce_idx
             rr_rand = noise_ref[base + 0, :]
             u1 = noise_ref[base + 1, :]
             u2 = noise_ref[base + 2, :]
@@ -342,10 +360,10 @@ def trace_sample_pallas(
     """Trace one sample per pixel through the fused megakernel.
 
     ``seed`` is a scalar int32 in hardware-RNG mode.  If instead an
-    array of shape (2 + 4 * max_path_length, P) is passed, the kernel
+    array of shape (4 + 4 * max_path_length, P) is passed, the kernel
     runs in host-noise mode and consumes it ([0:2] = AA jitter,
-    [2+4i : 6+4i] = bounce-i uniforms) - the layout of
-    render/wavefront.trace_sample_with_uniforms.
+    [2:4] = lens-disk uniforms, [4+4i : 8+4i] = bounce-i uniforms) -
+    the layout of render/wavefront.trace_sample_with_uniforms.
     """
     p = cols.shape[0]
     host_noise = getattr(seed, "ndim", 0) == 2
@@ -370,8 +388,8 @@ def trace_sample_pallas(
             settings.aa_scale,
             settings.refractive_index,
             settings.stop_prob,
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
+            settings.aperture,
+            settings.focal_distance,
             jnp.zeros((), jnp.float32),
         ]
     ).reshape(1, 8)

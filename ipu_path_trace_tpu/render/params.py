@@ -40,6 +40,10 @@ class RenderSettings(NamedTuple):
     stop_prob: jnp.ndarray  # russian roulette stop probability
     roulette_depth: jnp.ndarray  # bounces before roulette starts (int32)
     samples_per_step: jnp.ndarray  # on-device sample loop count (int32)
+    # Thin-lens depth of field (TPU-native addition; aperture 0 = the
+    # reference's pinhole camera).  Runtime-tunable like the rest:
+    aperture: jnp.ndarray  # lens radius in scene units
+    focal_distance: jnp.ndarray  # focus-plane distance along -z
 
     @staticmethod
     def make(
@@ -50,6 +54,8 @@ class RenderSettings(NamedTuple):
         stop_prob: float = 0.3,
         roulette_depth: int = 3,
         samples_per_step: int = 512,
+        aperture: float = 0.0,
+        focal_distance: float = 1.0,
     ) -> "RenderSettings":
         import numpy as np
 
@@ -61,4 +67,6 @@ class RenderSettings(NamedTuple):
             stop_prob=jnp.float32(stop_prob),
             roulette_depth=jnp.int32(roulette_depth),
             samples_per_step=jnp.int32(samples_per_step),
+            aperture=jnp.float32(aperture),
+            focal_distance=jnp.float32(focal_distance),
         )

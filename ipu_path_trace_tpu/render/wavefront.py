@@ -53,7 +53,30 @@ from .params import RenderSettings, StaticConfig
 
 # Key-derivation tags (shared with the CPU oracle in cpu/oracle.py):
 AA_TAG = 0x0AA
+LENS_TAG = 0x1E5
 BOUNCE_TAG = 0xB0
+
+
+def apply_thin_lens(d: Vec3, settings, l1, l2) -> tuple[Vec3, Vec3]:
+    """Thin-lens camera: jitter the origin on a disk, refocus through the
+    focus plane at ``focal_distance`` along -z.  Aperture 0 degenerates
+    exactly to the reference's pinhole ((o, d) unchanged).
+
+    ``d`` must be normalised; (l1, l2) are per-ray uniforms in [0, 1).
+    Returns (origin, direction).
+    """
+    r = settings.aperture * jnp.sqrt(l1)
+    phi = (2.0 * jnp.pi) * l2
+    lx = r * jnp.cos(phi)
+    ly = r * jnp.sin(phi)
+    # Focus point of the pinhole ray on the plane z = -focal_distance:
+    t_f = settings.focal_distance / jnp.maximum(-d.z, 1e-8)
+    o = Vec3(lx, ly, jnp.zeros_like(lx))
+    new_d = Vec3(d.x * t_f - lx, d.y * t_f - ly, d.z * t_f).normalized()
+    # Keep the pinhole case BIT-exact (renormalisation would flip last
+    # ulps and break exact-replay oracle tests):
+    dof = settings.aperture > 0.0
+    return o.where(dof, Vec3.zeros(lx.shape)), new_d.where(dof, d)
 
 
 def make_base_key(seed: int, rng_impl: str = "auto") -> jax.Array:
@@ -193,6 +216,7 @@ def trace_sample_with_uniforms(
     cols: jnp.ndarray,
     rows: jnp.ndarray,
     aa: jnp.ndarray,  # (2, P) anti-alias jitter (already distributed)
+    lens: jnp.ndarray,  # (2, P) lens-disk uniforms in [0, 1)
     uniforms: jnp.ndarray,  # (L, 4, P) per-bounce uniforms
 ) -> _BounceState:
     """Statically-unrolled trace with injected randomness.
@@ -204,7 +228,8 @@ def trace_sample_with_uniforms(
     c = cols + settings.aa_scale * aa[0]
     r = rows + settings.aa_scale * aa[1]
     d = pixel_to_ray(c, r, cfg.width, cfg.height, settings.fov).normalized()
-    state = initial_state(Vec3.zeros(cols.shape), d, cols.shape[0])
+    o, d = apply_thin_lens(d, settings, lens[0], lens[1])
+    state = initial_state(o, d, cols.shape[0])
     for i in range(cfg.max_path_length):
         state = bounce_body(scene, settings, state, uniforms[i], i)
     return state
@@ -242,7 +267,8 @@ def trace_one_sample(
         c = cols + settings.aa_scale * noise[0]
         r = rows + settings.aa_scale * noise[1]
         d = pixel_to_ray(c, r, cfg.width, cfg.height, settings.fov).normalized()
-        o = Vec3.zeros((n,))
+        lens = jax.random.uniform(jax.random.fold_in(skey, LENS_TAG), (2, n))
+        o, d = apply_thin_lens(d, settings, lens[0], lens[1])
 
         state = initial_state(o, d, n)
 

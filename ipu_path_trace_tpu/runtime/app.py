@@ -173,6 +173,8 @@ class PathTracerApp:
             stop_prob=cfg.stop_prob,
             roulette_depth=cfg.roulette_depth,
             samples_per_step=self.local_samples(samples_per_step),
+            aperture=cfg.aperture,
+            focal_distance=cfg.focal_distance,
         )
 
     def build(self) -> None:

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mesh-shape", default="",
                      help="Device mesh as 'PIXELSxSAMPLES', e.g. '4x2'. Default: all chips on the pixel axis.")
     tpu.add_argument("--cache-dir", default="", help="Persistent compilation cache directory.")
+    tpu.add_argument("--aperture", type=float, default=0.0,
+                     help="Thin-lens aperture radius (scene units); 0 = pinhole.")
+    tpu.add_argument("--focal-distance", type=float, default=1.0,
+                     help="Focus-plane distance for depth of field.")
     tpu.add_argument("--nif-mode", default="fused", choices=["fused", "baked"],
                      help="fused: NIF MLP evaluated inside the render loop "
                           "(reference semantics); baked: decode the NIF once "
@@ -136,6 +140,8 @@ def parse_config(argv=None) -> Config:
         cache_dir=args.cache_dir,
         rng_impl=args.rng_impl,
         nif_mode=args.nif_mode,
+        aperture=args.aperture,
+        focal_distance=args.focal_distance,
     )
     cfg.validate()
     return cfg

@@ -58,6 +58,9 @@ class Config:
     # NIF once to an equirect texture and serve lookups (TPU-first; HBM is
     # plentiful, unlike IPU SRAM where compressing the HDRI was the point).
     nif_mode: str = "fused"  # fused | baked
+    # Thin-lens depth of field; aperture 0 = the reference's pinhole:
+    aperture: float = 0.0
+    focal_distance: float = 1.0
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:

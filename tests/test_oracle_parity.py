@@ -60,6 +60,8 @@ def _run_pair(env_jax, env_oracle, spp=4, seed=7):
         stop_prob=jnp.float32(SETTINGS["stop_prob"]),
         roulette_depth=jnp.int32(SETTINGS["roulette_depth"]),
         samples_per_step=jnp.int32(spp),
+        aperture=jnp.float32(0.0),
+        focal_distance=jnp.float32(1.0),
     )
     wl = make_worklist(W, H)
     work = to_device_batch(wl)
