@@ -249,6 +249,14 @@ class PathTracerApp:
         host = AsyncTask()
         key = make_base_key(cfg.seed, cfg.rng_impl)
         total_rays = {"n": 0}
+        if cfg.profile_dir:
+            # XLA/TPU trace of the whole render loop - the analog of the
+            # reference's PVTI instrumentation (PathTracerApp.cpp:636-776);
+            # view with tensorboard / xprof.
+            import jax.profiler
+
+            jax.profiler.start_trace(cfg.profile_dir)
+            logger().info("Profiler trace -> '%s'", cfg.profile_dir)
         start_time = time.monotonic()
         logger().info("Render started")
 
@@ -349,6 +357,10 @@ class PathTracerApp:
             step += 1
 
         host.wait_for_completion()
+        if cfg.profile_dir:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
         elapsed = time.monotonic() - start_time
         logger().info("Render finished: %.3f seconds", elapsed)
         pixels = cfg.width * cfg.height

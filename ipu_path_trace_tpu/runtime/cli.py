@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mesh-shape", default="",
                      help="Device mesh as 'PIXELSxSAMPLES', e.g. '4x2'. Default: all chips on the pixel axis.")
     tpu.add_argument("--cache-dir", default="", help="Persistent compilation cache directory.")
+    tpu.add_argument("--profile-dir", default="",
+                     help="Write an XLA profiler trace of the render loop here "
+                          "(the PVTI-instrumentation analog; view with xprof).")
     tpu.add_argument("--aperture", type=float, default=0.0,
                      help="Thin-lens aperture radius (scene units); 0 = pinhole.")
     tpu.add_argument("--focal-distance", type=float, default=1.0,
@@ -140,6 +143,7 @@ def parse_config(argv=None) -> Config:
         cache_dir=args.cache_dir,
         rng_impl=args.rng_impl,
         nif_mode=args.nif_mode,
+        profile_dir=args.profile_dir,
         aperture=args.aperture,
         focal_distance=args.focal_distance,
     )

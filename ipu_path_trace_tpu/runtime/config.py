@@ -58,6 +58,7 @@ class Config:
     # NIF once to an equirect texture and serve lookups (TPU-first; HBM is
     # plentiful, unlike IPU SRAM where compressing the HDRI was the point).
     nif_mode: str = "fused"  # fused | baked
+    profile_dir: str = ""  # XLA profiler trace dir (PVTI analog); "" = off
     # Thin-lens depth of field; aperture 0 = the reference's pinhole:
     aperture: float = 0.0
     focal_distance: float = 1.0
