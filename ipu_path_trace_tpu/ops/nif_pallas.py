@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -43,19 +44,37 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.nif import NifParams
 
 
-def _kernel(num_layers: int, embedding_dim: int, feat_dim: int,
-            u_ref, v_ref, scal_ref, *refs):
-    w_refs = refs[:num_layers]          # (out, in) each
-    b_refs = refs[num_layers : 2 * num_layers]  # (out, 1) each
-    out_ref = refs[2 * num_layers]      # (3, B)
+def _pack_scal(params: NifParams, azimuth=None) -> jnp.ndarray:
+    """(1, 8) SMEM decode scalars: max, mean, log flag, azimuth."""
+    return jnp.stack(
+        [
+            params.max.astype(jnp.float32),
+            params.mean[0].astype(jnp.float32),
+            params.mean[1].astype(jnp.float32),
+            params.mean[2].astype(jnp.float32),
+            jnp.where(params.log_tone_map, 1.0, 0.0),
+            (jnp.zeros((), jnp.float32) if azimuth is None
+             else jnp.asarray(azimuth, jnp.float32)),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ]
+    ).reshape(1, 8)
 
+
+def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
+              w_refs, b_refs):
+    """Encode -> matmul chain -> decode on (B,) uv vectors; returns (3, B).
+
+    Shared by the plain inference kernel and the fused env-shading
+    kernel below.
+    """
     compute_dtype = w_refs[0].dtype
 
     # Fourier features (NifModel.cpp:185-218): uv' = 2(uv - 1), rows
     # [sin(u 2^j) | sin(v 2^j) | cos(u 2^j) | cos(v 2^j)] built by the
     # double-angle recurrence (see module docstring).
-    uu = 2.0 * (u_ref[:] - 1.0)  # (B,)
-    vv = 2.0 * (v_ref[:] - 1.0)
+    uu = 2.0 * (u - 1.0)  # (B,)
+    vv = 2.0 * (v - 1.0)
     su, cu = jnp.sin(uu), jnp.cos(uu)
     sv, cv = jnp.sin(vv), jnp.cos(vv)
     sus, cus, svs, cvs = [su], [cu], [sv], [cv]
@@ -83,7 +102,57 @@ def _kernel(num_layers: int, embedding_dim: int, feat_dim: int,
     mean = jnp.stack([scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3]])
     log_flag = scal_ref[0, 4]
     y = x.astype(jnp.float32) * max_v + mean[:, None]
-    out_ref[:] = jnp.where(log_flag > 0.5, jnp.exp(y), y)
+    return jnp.where(log_flag > 0.5, jnp.exp(y), y)
+
+
+def _kernel(num_layers: int, embedding_dim: int, feat_dim: int,
+            u_ref, v_ref, scal_ref, *refs):
+    w_refs = refs[:num_layers]          # (out, in) each
+    b_refs = refs[num_layers : 2 * num_layers]  # (out, 1) each
+    out_ref = refs[2 * num_layers]      # (3, B)
+    out_ref[:] = _mlp_core(
+        num_layers, embedding_dim, u_ref[:], v_ref[:], scal_ref, w_refs, b_refs
+    )
+
+
+def _env_shade_kernel(num_layers: int, embedding_dim: int,
+                      escd_ref, escw_ref, scal_ref, *refs):
+    """Equirect UV from escaped-ray directions -> NIF -> apply weights.
+
+    Fuses PreProcessEscapedRays + the NIF + PostProcessEscapedRays
+    (codelets.cpp:312-385) into one kernel: theta = acos(y),
+    phi = atan2(z, x) + azimuth wrapped to [0, 2pi] (codelets.cpp:333-344,
+    via ops/mathx polynomials - Mosaic has no acos/atan2), u = theta/pi,
+    v = phi/2pi; non-escaped lanes are zeroed exactly like the reference
+    to avoid FP garbage (codelets.cpp:348-352).  Output is the radiance
+    contribution esc_w * env_rgb with the bgr->rgb flip applied
+    (codelets.cpp:377-378), so row 0 is already R.
+    """
+    from .mathx import acos as _acos, atan2 as _atan2
+
+    w_refs = refs[:num_layers]
+    b_refs = refs[num_layers : 2 * num_layers]
+    out_ref = refs[2 * num_layers]  # (3, B) radiance contribution, RGB
+
+    dx = escd_ref[0, :]
+    dy = escd_ref[1, :]
+    dz = escd_ref[2, :]
+    azimuth = scal_ref[0, 5]
+    escaped = (dx * dx + dy * dy + dz * dz) > 0.5  # unit dirs; 0 = not escaped
+
+    theta = _acos(jnp.clip(dy, -1.0, 1.0))
+    phi = _atan2(dz, dx) + azimuth
+    two_pi = jnp.float32(2.0 * np.pi)
+    phi = jnp.where(phi < 0.0, phi + two_pi, jnp.where(phi > two_pi, phi - two_pi, phi))
+    u = jnp.where(escaped, theta * jnp.float32(1.0 / np.pi), 0.0)
+    v = jnp.where(escaped, phi * (1.0 / two_pi), 0.0)
+
+    out = _mlp_core(num_layers, embedding_dim, u, v, scal_ref, w_refs, b_refs)
+    # bgr -> rgb + throughput weights (esc_w rows are zero unless escaped):
+    out_ref[:] = jnp.stack(
+        [escw_ref[0, :] * out[2], escw_ref[1, :] * out[1], escw_ref[2, :] * out[0]],
+        axis=0,
+    )
 
 
 @functools.partial(
@@ -115,18 +184,7 @@ def nif_apply_pallas_t(
     kernels_t = [w.T for w in params.kernels]
     biases_c = [b.reshape(-1, 1) for b in params.biases]
 
-    scal = jnp.stack(
-        [
-            params.max.astype(jnp.float32),
-            params.mean[0].astype(jnp.float32),
-            params.mean[1].astype(jnp.float32),
-            params.mean[2].astype(jnp.float32),
-            jnp.where(params.log_tone_map, 1.0, 0.0),
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
-            jnp.zeros((), jnp.float32),
-        ]
-    ).reshape(1, 8)
+    scal = _pack_scal(params)
 
     feat_dim = 4 * params.embedding_dim
     uv_spec = pl.BlockSpec((block_size,), lambda i: (i,), memory_space=pltpu.VMEM)
@@ -165,3 +223,61 @@ def nif_apply_pallas(
 ) -> jnp.ndarray:
     """Drop-in replacement for models.nif.nif_apply -> (P, 3) float32."""
     return nif_apply_pallas_t(params, u, v, block_size, interpret).T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret")
+)
+def nif_env_shade_pallas(
+    params: NifParams,
+    esc_dir,  # Vec3 of (P,) escaped-ray directions (zero where not escaped)
+    esc_w,  # Vec3 of (P,) escape throughput weights (zero where not escaped)
+    azimuth,  # () env-map rotation, radians
+    block_size: int = 4096,
+    interpret: bool = False,
+):
+    """Fused equirect + NIF + env-apply -> Vec3 radiance contribution.
+
+    One kernel replaces the XLA chain equirect_uv -> mask -> nif -> bgr
+    flip -> esc_w multiply in the hot path (see _env_shade_kernel).
+    """
+    from ..core.vecmath import Vec3
+
+    p = esc_dir.x.shape[0]
+    num_layers = len(params.kernels)
+    pad = (-p) % block_size
+    escd = jnp.stack([esc_dir.x, esc_dir.y, esc_dir.z], axis=0)
+    escw = jnp.stack([esc_w.x, esc_w.y, esc_w.z], axis=0)
+    if pad:
+        escd = jnp.pad(escd, ((0, 0), (0, pad)))
+        escw = jnp.pad(escw, ((0, 0), (0, pad)))
+    n = p + pad
+    grid = (n // block_size,)
+
+    kernels_t = [w.T for w in params.kernels]
+    biases_c = [b.reshape(-1, 1) for b in params.biases]
+    scal = _pack_scal(params, azimuth)
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.VMEM
+    )
+    rows3 = pl.BlockSpec((3, block_size), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_env_shade_kernel, num_layers, params.embedding_dim),
+        out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            rows3,
+            rows3,
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *[full(w) for w in kernels_t],
+            *[full(b) for b in biases_c],
+        ],
+        out_specs=rows3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(escd, escw, scal, *kernels_t, *biases_c)
+    return Vec3(out[0, :p], out[1, :p], out[2, :p])

@@ -247,7 +247,8 @@ def trace_one_sample(
     """Trace one sample per worklist entry; returns (radiance, path_len)."""
     n = cols.shape[0]
 
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    pallas_on = cfg.use_pallas and jax.default_backend() == "tpu"
+    if pallas_on:
         # Fused megakernel: per-ray state stays in VMEM for the whole
         # bounce loop (ops/trace_pallas.py).  Seeded per sample from the
         # fold_in key so samples stay independent.
@@ -281,6 +282,18 @@ def trace_one_sample(
         )
 
     # --- deferred environment lighting (codelets.cpp:312-385) ---
+    from ..models.envlight import NifEnv
+
+    if pallas_on and isinstance(env, NifEnv):
+        # Fully fused: equirect + NIF + env-apply in one kernel
+        # (ops/nif_pallas._env_shade_kernel).
+        from ..ops.nif_pallas import nif_env_shade_pallas
+
+        contribution = nif_env_shade_pallas(
+            env.params, state.esc_dir, state.esc_w, settings.azimuth
+        )
+        return state.radiance + contribution, state.path_len
+
     u, v = equirect_uv(state.esc_dir, settings.azimuth)
     # Zero the non-escaped lanes like PreProcessEscapedRays does to avoid
     # FP garbage (codelets.cpp:348-352):

@@ -253,8 +253,6 @@ class PathTracerApp:
             # XLA/TPU trace of the whole render loop - the analog of the
             # reference's PVTI instrumentation (PathTracerApp.cpp:636-776);
             # view with tensorboard / xprof.
-            import jax.profiler
-
             jax.profiler.start_trace(cfg.profile_dir)
             logger().info("Profiler trace -> '%s'", cfg.profile_dir)
         start_time = time.monotonic()
@@ -358,8 +356,6 @@ class PathTracerApp:
 
         host.wait_for_completion()
         if cfg.profile_dir:
-            import jax.profiler
-
             jax.profiler.stop_trace()
         elapsed = time.monotonic() - start_time
         logger().info("Render finished: %.3f seconds", elapsed)

@@ -71,3 +71,44 @@ def test_pallas_t_is_channel_major():
     out = nif_apply_pallas(params, u, v, block_size=128, interpret=True)
     assert out_t.shape == (3, 300)
     np.testing.assert_allclose(np.asarray(out_t.T), np.asarray(out))
+
+
+def test_env_shade_matches_xla_chain():
+    """The fused equirect+NIF+apply kernel must match the XLA chain
+    (equirect_uv -> mask -> nif_apply -> bgr flip -> esc_w multiply)."""
+    from ipu_path_trace_tpu.core.envmap import equirect_uv
+    from ipu_path_trace_tpu.core.vecmath import Vec3
+    from ipu_path_trace_tpu.ops.nif_pallas import nif_env_shade_pallas
+
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    params = make_params(weights, meta, jnp.bfloat16)
+    rng = np.random.default_rng(9)
+    p = 700
+    d = rng.normal(size=(3, p)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    escaped = rng.uniform(size=p) < 0.8
+    d[:, ~escaped] = 0.0
+    w = rng.uniform(0.0, 2.0, size=(3, p)).astype(np.float32)
+    w[:, ~escaped] = 0.0
+    esc_dir = Vec3(*(jnp.asarray(d[i]) for i in range(3)))
+    esc_w = Vec3(*(jnp.asarray(w[i]) for i in range(3)))
+    azimuth = jnp.float32(0.7)
+
+    u, v = equirect_uv(esc_dir, azimuth)
+    u = jnp.where(jnp.asarray(escaped), u, 0.0)
+    v = jnp.where(jnp.asarray(escaped), v, 0.0)
+    out = nif_apply(params, u, v)
+    ref = np.stack(
+        [w[0] * np.asarray(out[:, 2]), w[1] * np.asarray(out[:, 1]), w[2] * np.asarray(out[:, 0])]
+    )
+
+    got = nif_env_shade_pallas(
+        params, esc_dir, esc_w, azimuth, block_size=256, interpret=True
+    )
+    got = np.stack([np.asarray(got.x), np.asarray(got.y), np.asarray(got.z)])
+    scale = np.abs(ref).max()
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-2 * scale)
+    # bf16 feature quantisation noise + polynomial atan2, same budget as
+    # the other kernel parity tests:
+    assert np.median(rel) < 5e-3
+    assert rel.max() < 8e-2
