@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 WIDTH, HEIGHT = 1104, 1000
-SAMPLES_PER_STEP = 16
+SAMPLES_PER_STEP = 64  # conservative vs the canonical 300 spp/step (README.md:82)
 TIMED_STEPS = 3
 BASELINE_MPATHS = 50.0
 
