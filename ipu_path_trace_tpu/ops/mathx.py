@@ -2,8 +2,9 @@
 
 Pallas TPU kernels cannot use jnp.arctan2 / jnp.arccos (no Mosaic
 lowering rules), so the fused env-shading kernel evaluates them with a
-minimax polynomial in the octant-reduced argument.  Max error ~2e-7 rad
-for atan2 and ~1e-6 for acos over f32 inputs - far below the bf16
+minimax polynomial in the octant-reduced argument.  Max error ~2e-6 rad
+for atan2 (the pi - r quadrant reflection costs ~1 ulp of pi on top of
+the ~2e-7 core polynomial) and ~2e-6 for acos over f32 inputs - far below the bf16
 quantisation of the NIF that consumes the result.
 
 Plain jnp functions: usable inside Pallas kernels and under jit/XLA

@@ -105,7 +105,7 @@ def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
     return jnp.where(log_flag > 0.5, jnp.exp(y), y)
 
 
-def _kernel(num_layers: int, embedding_dim: int, feat_dim: int,
+def _kernel(num_layers: int, embedding_dim: int,
             u_ref, v_ref, scal_ref, *refs):
     w_refs = refs[:num_layers]          # (out, in) each
     b_refs = refs[num_layers : 2 * num_layers]  # (out, 1) each
@@ -186,14 +186,13 @@ def nif_apply_pallas_t(
 
     scal = _pack_scal(params)
 
-    feat_dim = 4 * params.embedding_dim
     uv_spec = pl.BlockSpec((block_size,), lambda i: (i,), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.VMEM
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_layers, params.embedding_dim, feat_dim),
+        functools.partial(_kernel, num_layers, params.embedding_dim),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         grid=grid,
         in_specs=[
@@ -206,8 +205,9 @@ def nif_apply_pallas_t(
         out_specs=pl.BlockSpec(
             (3, block_size), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
+        # Independent grid blocks - megacore TPUs may parallelise them:
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(u, v, scal, *kernels_t, *biases_c)
@@ -275,8 +275,9 @@ def nif_env_shade_pallas(
             *[full(b) for b in biases_c],
         ],
         out_specs=rows3,
+        # Independent grid blocks - megacore TPUs may parallelise them:
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(escd, escw, scal, *kernels_t, *biases_c)

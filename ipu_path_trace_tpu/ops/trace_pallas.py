@@ -26,10 +26,10 @@ Design notes:
   in Pallas interpret mode, so `host_noise=True` swaps it for an input
   array of pre-generated noise; render/wavefront.trace_sample_with_uniforms
   consumes the identical array, giving an exact-parity oracle for tests.
-* Escaped-ray environment shading stays OUTSIDE (equirect needs atan2,
-  which Mosaic does not lower, and the NIF has its own fused kernel,
-  ops/nif_pallas.py) - mirroring the reference's deferral of env
-  lighting to Pre/PostProcessEscapedRays (codelets.cpp:312-385).
+* Escaped-ray environment shading stays a SEPARATE fused kernel
+  (equirect + NIF + apply, ops/nif_pallas._env_shade_kernel) - mirroring
+  the reference's deferral of env lighting to Pre/PostProcessEscapedRays
+  (codelets.cpp:312-385) while keeping this kernel env-agnostic.
 
 Bounce semantics are render/wavefront.bounce_body, verbatim.
 """
@@ -71,10 +71,29 @@ class TraceOut(NamedTuple):
 
 
 def pack_scene(scene: Scene) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Flatten the Scene pytree into SMEM scalar tables."""
+    """Flatten the Scene pytree into SMEM scalar tables.
+
+    Empty object classes pack as a (1, 1) dummy table - a zero-width
+    SMEM block crashes pallas_call, and the unrolled loops (driven by
+    the static counts) never read the dummy.
+    """
     num_s = scene.num_spheres
     num_d = scene.disc_radius.shape[0]
-    sph = jnp.concatenate(
+    if num_s == 0:
+        sph = jnp.zeros((1, 1), jnp.float32)
+    if num_d == 0:
+        dsc = jnp.zeros((1, 1), jnp.float32)
+    if num_s == 0 and num_d == 0:
+        return sph, dsc
+    if num_s == 0:
+        return sph, _pack_discs(scene, num_s, num_d)
+    if num_d == 0:
+        return _pack_spheres(scene, num_s), dsc
+    return _pack_spheres(scene, num_s), _pack_discs(scene, num_s, num_d)
+
+
+def _pack_spheres(scene: Scene, num_s: int) -> jnp.ndarray:
+    return jnp.concatenate(
         [
             scene.sphere_center.reshape(num_s, 3),
             scene.sphere_radius.reshape(num_s, 1),
@@ -85,7 +104,10 @@ def pack_scene(scene: Scene) -> tuple[jnp.ndarray, jnp.ndarray]:
         ],
         axis=1,
     ).reshape(1, num_s * _SPHERE_F)
-    dsc = jnp.concatenate(
+
+
+def _pack_discs(scene: Scene, num_s: int, num_d: int) -> jnp.ndarray:
+    return jnp.concatenate(
         [
             scene.disc_normal.reshape(num_d, 3),
             scene.disc_center.reshape(num_d, 3),
@@ -97,7 +119,6 @@ def pack_scene(scene: Scene) -> tuple[jnp.ndarray, jnp.ndarray]:
         ],
         axis=1,
     ).reshape(1, num_d * _DISC_F)
-    return sph, dsc
 
 
 def _intersect(sph_ref, dsc_ref, num_s: int, num_d: int, o: Vec3, d: Vec3):
@@ -209,7 +230,10 @@ def _kernel(
     roulette_depth = ipar_ref[0, 0]
 
     if not host_noise:
-        pltpu.prng_seed(ipar_ref[0, 1], pl.program_id(0))
+        # Two 32-bit seed words so distinct samples cannot birthday-collide
+        # in a 32-bit space over long renders; the grid-block id folds into
+        # the second word (Mosaic caps prng_seed at 2 values).
+        pltpu.prng_seed(ipar_ref[0, 1], ipar_ref[0, 2] + pl.program_id(0))
 
     def uniforms(k: int):
         """k (n,) uniform draws in (0, 1] (24-bit mantissa) in ONE call.
@@ -352,8 +376,9 @@ def trace_sample_pallas(
     settings,  # RenderSettings (avoids a circular import)
     cols: jnp.ndarray,  # (P,) f32 pixel columns
     rows: jnp.ndarray,  # (P,) f32 pixel rows
-    seed: jnp.ndarray,  # () int32 per-sample seed (or noise array, see below)
+    seed: jnp.ndarray | None = None,  # (2,) int32/uint32 per-sample seed words
     *,
+    noise: jnp.ndarray | None = None,  # host-noise mode, see below
     width: int,
     height: int,
     max_path_length: int,
@@ -363,20 +388,26 @@ def trace_sample_pallas(
 ) -> TraceOut:
     """Trace one sample per pixel through the fused megakernel.
 
-    ``seed`` is a scalar int32 in hardware-RNG mode.  If instead an
-    array of shape (4 + 4 * max_path_length, P) is passed, the kernel
-    runs in host-noise mode and consumes it ([0:2] = AA jitter,
-    [2:4] = lens-disk uniforms, [4+4i : 8+4i] = bounce-i uniforms) -
-    the layout of render/wavefront.trace_sample_with_uniforms.
+    Exactly one of ``seed``/``noise`` must be given.  ``seed`` is a
+    (2,)-shaped int32 vector of seed words for the hardware PRNG (two
+    words so distinct samples cannot birthday-collide in a 32-bit
+    space).  ``noise`` of shape (4 + 4 * max_path_length, P) runs the
+    kernel in host-noise mode ([0:2] = AA jitter, [2:4] = lens-disk
+    uniforms, [4+4i : 8+4i] = bounce-i uniforms) - the layout of
+    render/wavefront.trace_sample_with_uniforms.
     """
+    if (seed is None) == (noise is None):
+        raise ValueError("pass exactly one of seed= or noise=")
+    if block_size % 128:
+        raise ValueError(f"block_size must be a multiple of 128, got {block_size}")
     p = cols.shape[0]
-    host_noise = getattr(seed, "ndim", 0) == 2
+    host_noise = noise is not None
     pad = (-p) % block_size
     if pad:
         cols = jnp.pad(cols, (0, pad))
         rows = jnp.pad(rows, (0, pad))
         if host_noise:
-            seed = jnp.pad(seed, ((0, 0), (0, pad)))
+            noise = jnp.pad(noise, ((0, 0), (0, pad)))
     n = p + pad
     grid = (n // block_size,)
 
@@ -397,11 +428,16 @@ def trace_sample_pallas(
             jnp.zeros((), jnp.float32),
         ]
     ).reshape(1, 8)
+    if host_noise:
+        s0 = s1 = jnp.zeros((), jnp.int32)
+    else:
+        seed = jnp.asarray(seed).astype(jnp.int32).reshape(2)
+        s0, s1 = seed[0], seed[1]
     ipar = jnp.stack(
         [
             settings.roulette_depth.astype(jnp.int32),
-            (jnp.zeros((), jnp.int32) if host_noise else seed.astype(jnp.int32)),
-            jnp.zeros((), jnp.int32),
+            s0,
+            s1,
             jnp.zeros((), jnp.int32),
         ]
     ).reshape(1, 4)
@@ -419,11 +455,11 @@ def trace_sample_pallas(
     if host_noise:
         in_specs.append(
             pl.BlockSpec(
-                (seed.shape[0], block_size), lambda i: (0, i),
+                (noise.shape[0], block_size), lambda i: (0, i),
                 memory_space=pltpu.VMEM,
             )
         )
-        inputs.append(seed)
+        inputs.append(noise)
 
     rad, escd, escw, escm, plen = pl.pallas_call(
         functools.partial(
@@ -440,7 +476,9 @@ def trace_sample_pallas(
         grid=grid,
         in_specs=in_specs,
         out_specs=(row_out(3), row_out(3), row_out(3), row_out(1), row_out(1)),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        # Grid blocks are independent (the PRNG reseeds per block), so
+        # megacore TPUs may split them across TensorCores:
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*inputs)
 

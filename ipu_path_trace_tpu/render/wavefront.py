@@ -254,7 +254,7 @@ def trace_one_sample(
         # fold_in key so samples stay independent.
         from ..ops.trace_pallas import trace_sample_pallas
 
-        seed = jax.random.bits(skey, (), jnp.uint32).astype(jnp.int32)
+        seed = jax.random.bits(skey, (2,), jnp.uint32).astype(jnp.int32)
         state = trace_sample_pallas(
             scene, settings, cols, rows, seed,
             width=cfg.width, height=cfg.height,

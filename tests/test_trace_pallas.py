@@ -47,7 +47,7 @@ def test_megakernel_matches_wavefront():
         [aa, lens, uniforms.reshape(-1, cols.shape[0])], axis=0
     )  # (4 + 4L, P)
     out = trace_sample_pallas(
-        scene, settings, cols, rows, jnp.asarray(noise),
+        scene, settings, cols, rows, noise=jnp.asarray(noise),
         width=W, height=H, max_path_length=cfg.max_path_length,
         aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
     )
@@ -79,7 +79,7 @@ def test_megakernel_every_material_reached():
     scene, cfg, settings, cols, rows, aa, lens, uniforms = _setup()
     noise = np.concatenate([aa, lens, uniforms.reshape(-1, cols.shape[0])], axis=0)
     out = trace_sample_pallas(
-        scene, settings, cols, rows, jnp.asarray(noise),
+        scene, settings, cols, rows, noise=jnp.asarray(noise),
         width=W, height=H, max_path_length=cfg.max_path_length,
         aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
     )
@@ -103,7 +103,7 @@ def test_megakernel_dof_parity_and_focus():
     )
     noise = np.concatenate([aa, lens, uniforms.reshape(-1, cols.shape[0])], axis=0)
     out = trace_sample_pallas(
-        scene, settings, cols, rows, jnp.asarray(noise),
+        scene, settings, cols, rows, noise=jnp.asarray(noise),
         width=W, height=H, max_path_length=cfg.max_path_length,
         aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
     )
@@ -146,3 +146,33 @@ def test_pinhole_bit_exact_when_aperture_zero():
         np.testing.assert_array_equal(
             np.asarray(getattr(d, c)), np.asarray(getattr(d0, c))
         )
+
+
+def test_megakernel_scene_without_discs():
+    """Scenes with an empty object class must not crash the kernel
+    (zero-width SMEM tables pack as dummies)."""
+    from ipu_path_trace_tpu.core.scene import Material, make_scene
+
+    scene = make_scene(
+        spheres=[((0.0, 0.0, -3.0), 1.0)],
+        discs=[],
+        colours=[(0.8, 0.2, 0.2)],
+        emissions=[(0.0, 0.0, 0.0)],
+        materials=[Material.DIFFUSE],
+    )
+    _, cfg, settings, cols, rows, aa, lens, uniforms = _setup()
+    noise = np.concatenate([aa, lens, uniforms.reshape(-1, cols.shape[0])], axis=0)
+    out = trace_sample_pallas(
+        scene, settings, cols, rows, noise=jnp.asarray(noise),
+        width=W, height=H, max_path_length=cfg.max_path_length,
+        aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
+    )
+    ref = trace_sample_with_uniforms(
+        scene, settings, cfg, cols, rows,
+        jnp.asarray(aa), jnp.asarray(lens), jnp.asarray(uniforms),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.radiance.x), np.asarray(ref.radiance.x),
+        rtol=1e-4, atol=3e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(out.escaped), np.asarray(ref.escaped))
