@@ -198,3 +198,50 @@ def test_progressive_accumulation_consistency():
     m1 = np.asarray(out.r).mean() / 4
     m2 = np.asarray(out2.r).mean() / 4
     assert abs(m1 - m2) / max(m2, 1e-6) < 0.25  # MC noise tolerance
+
+
+def test_dof_oracle_parity():
+    """Thin-lens DoF: the NumPy oracle and the XLA uniforms driver consume
+    identical lens noise and must agree to float rounding."""
+    from ipu_path_trace_tpu.render.wavefront import trace_sample_with_uniforms
+
+    scene = default_scene()
+    oscene = oracle_scene_from(scene)
+    cfg = StaticConfig(width=W, height=H, max_path_length=6)
+    settings = RenderSettings.make(
+        samples_per_step=1, aperture=0.25, focal_distance=3.0
+    )
+    wl = make_worklist(W, H)
+    cols = wl["u"].astype(np.float32)
+    rows = wl["v"].astype(np.float32)
+    rng = np.random.default_rng(21)
+    p = cols.size
+    aa = rng.normal(size=(2, p)).astype(np.float32)
+    lens = rng.uniform(0, 1, size=(2, p)).astype(np.float32)
+    uniforms = rng.uniform(0, 1, size=(6, 4, p)).astype(np.float32)
+
+    state = trace_sample_with_uniforms(
+        scene, settings, cfg, jnp.asarray(cols), jnp.asarray(rows),
+        jnp.asarray(aa), jnp.asarray(lens), jnp.asarray(uniforms),
+    )
+    rad_o, plen_o = trace_sample_oracle(
+        oscene, cols, rows, W, H,
+        fov=float(settings.fov), aa_scale=float(settings.aa_scale),
+        azimuth=0.0, refractive_index=1.5, stop_prob=0.3,
+        roulette_depth=3, max_path_length=6,
+        aa=aa, uniforms=uniforms, env=("constant", np.ones(3, np.float32)),
+        lens=lens, aperture=0.25, focal_distance=3.0,
+    )
+    # Compare pre-env radiance + escape bookkeeping (env applied later in
+    # both pipelines; constant env contribution = esc_w here):
+    rad = np.stack(
+        [np.asarray(state.radiance.x), np.asarray(state.radiance.y),
+         np.asarray(state.radiance.z)], -1,
+    ) + np.stack(
+        [np.asarray(state.esc_w.x), np.asarray(state.esc_w.y),
+         np.asarray(state.esc_w.z)], -1,
+    )
+    diff = np.abs(rad - (rad_o)).max(axis=-1)
+    # Knife-edge Fresnel/RR branches may divert a few lanes:
+    assert float((diff > 1e-2).mean()) < 0.02
+    assert float(np.sqrt(np.mean(np.minimum(diff, 1e-2) ** 2))) < 1e-3
