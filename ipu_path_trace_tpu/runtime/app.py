@@ -65,8 +65,12 @@ def parse_env_assets(assets: str, partials_type: str = "half"):
         else:
             import imageio.v3 as iio
 
-            img = np.asarray(iio.imread(path), np.float32)
-            if img.dtype == np.uint8 or img.max() > 64.0:
+            raw = iio.imread(path)
+            img = np.asarray(raw, np.float32)
+            # Only integer images carry the 0..255 encoding; float images
+            # (e.g. Radiance .hdr) are radiance already - dividing them
+            # would darken genuine HDR content.
+            if np.issubdtype(np.asarray(raw).dtype, np.integer):
                 img = img / 255.0
         return TextureEnv(texture=jnp.asarray(img, jnp.float32)), None
     dtype = jnp.bfloat16 if partials_type == "half" else jnp.float32
@@ -77,6 +81,13 @@ def parse_env_assets(assets: str, partials_type: str = "half"):
 class PathTracerApp:
     def __init__(self, config: Config):
         self.cfg = config
+        if config.model:
+            # Simulator: the IPUModel analog is the XLA CPU backend
+            # (ipu_utils.hpp:78-86).  Must happen before ANY jax array is
+            # created (default_scene below) or the first-used backend wins
+            # and the switch is silently ignored.
+            jax.config.update("jax_platforms", "cpu")
+            logger().info("Using CPU simulator backend (--model).")
         self.trace = TraceChannel("tpu_path_tracer")
         self.programs = ProgramManager()
         self.scene = default_scene()
@@ -91,11 +102,6 @@ class PathTracerApp:
     # ------------------------------------------------------------------
     def init(self) -> None:
         cfg = self.cfg
-        if cfg.model:
-            # Simulator: the IPUModel analog is the XLA CPU backend
-            # (ipu_utils.hpp:78-86).
-            jax.config.update("jax_platforms", "cpu")
-            logger().info("Using CPU simulator backend (--model).")
         if cfg.cache_dir:
             enable_compilation_cache(cfg.cache_dir)
         spp = cfg.rounded_samples_per_pixel()
@@ -132,8 +138,6 @@ class PathTracerApp:
                 self.env = bake_nif_env(
                     self.env, int(h), int(w), use_pallas=self.cfg.use_pallas
                 )
-                import jax
-
                 jax.block_until_ready(self.env.texture)
                 logger().info(
                     "Baked NIF env to %dx%d texture in %.2fs (--nif-mode=baked)",
@@ -314,6 +318,13 @@ class PathTracerApp:
                 with self.trace.span("accumulate_framebuffers"):
                     film.accumulate(balancer.work.inactive)
                 if ui is not None:
+                    # Tone-mapping reads the LIVE UI state - exposure/gamma
+                    # deliberately don't restart the render (the reference
+                    # reads uiServer->getState() in the async lambda,
+                    # PathTracerApp.cpp:726-737):
+                    live = ui.get_state()
+                    state["exposure"] = live["exposure"]
+                    state["gamma"] = live["gamma"]
                     with self.trace.span("tone_map"):
                         ldr = film.ldr(step, state["exposure"], state["gamma"])
                     with self.trace.span("ui_encode"):
@@ -377,7 +388,10 @@ class PathTracerApp:
         new_nif = ui_state.get("load_nif")
         if new_nif:
             logger().info("Loading NIF: %s", new_nif)
-            self.load_env(new_nif)
+            if self.load_env(new_nif) and self.mesh is not None:
+                # build() replicated the original env over the mesh; a
+                # reloaded one must be too or shard_map rejects it:
+                self.env = replicate(self.env, self.mesh)
         for k_src, k_dst in (
             ("env_rotation", "env_rotation"),
             ("exposure", "exposure"),

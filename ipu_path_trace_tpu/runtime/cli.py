@@ -2,7 +2,8 @@
 
 Two option tiers exactly as the reference (standard harness options,
 src/main.cpp:8-37; tool options, src/PathTracerApp.cpp:794-830),
-including short aliases (-o, -w, -h, -s, -n, -a) and validation
+including short aliases (-o, -w, -H for height since argparse
+reserves -h for help, -s, -n, -a) and validation
 (save/load mutual exclusion, main.cpp:62-66).
 """
 
@@ -72,9 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     tool.add_argument("--partials-type", default="half", choices=["half", "float"],
                       help="Matmul compute precision: half -> bfloat16, float -> float32.")
     tool.add_argument("--available-memory-proportion", type=float, default=0.6,
-                      help="Proportion of on-chip memory allowed for matrix multiplies.")
+                      help="Accepted for parity; the fused NIF kernel manages VMEM itself "
+                           "(reference: memory proportion for matmuls).")
     tool.add_argument("--max-nif-batch-size", type=int, default=30 * 1472,
-                      help="Maximum batch size for NIF inference; larger batches are serialised.")
+                      help="Batch size for standalone NIF reconstruction serialisation "
+                           "(models/reconstruct); the in-loop fused NIF kernel "
+                           "needs no serialisation.")
     tool.add_argument("--ui-port", type=int, default=0,
                       help="Start a remote user-interface server on the specified port.")
 

@@ -70,6 +70,8 @@ class Config:
             raise ValueError("the option '--assets' is required but missing")
         if self.samples_per_step < 1 or self.samples < 1:
             raise ValueError("samples and samples-per-step must be >= 1")
+        if self.save_interval < 1:
+            raise ValueError("save-interval must be >= 1")
 
     def rounded_samples_per_pixel(self) -> int:
         """Round spp up to a multiple of samples-per-step

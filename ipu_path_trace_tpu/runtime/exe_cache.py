@@ -74,7 +74,18 @@ class ProgramManager:
 
     def run(self, name: str, *args):
         if name in self._loaded:
-            return self._loaded[name].call(*args)  # type: ignore[attr-defined]
+            try:
+                return self._loaded[name].call(*args)  # type: ignore[attr-defined]
+            except (ValueError, TypeError) as e:
+                # The AOT program is specialised to its export-time avals;
+                # a runtime change (e.g. loading a NIF with a different
+                # architecture over --load-exe) invalidates it.  Fall back
+                # to JIT rather than killing the render.
+                logger().warning(
+                    "AOT program '%s' rejected its arguments (%s); "
+                    "falling back to JIT compilation.", name, e,
+                )
+                del self._loaded[name]
         return self._programs[name](*args)
 
     def save(self, prefix: str, example_args: dict[str, tuple]) -> None:
@@ -89,9 +100,12 @@ class ProgramManager:
             try:
                 exported = jax_export.export(fn)(*args)
                 blob = exported.serialize()
-            except Exception as e:  # platform may not support export
-                logger().warning("Could not export program '%s': %s", name, e)
-                continue
+            except Exception as e:
+                # The user explicitly asked for a saved executable; a
+                # silent partial manifest would masquerade as success and
+                # --load-exe would quietly recompile (ipu_utils.hpp:38-45
+                # fails loudly here too).
+                raise RuntimeError(f"Could not export program '{name}'") from e
             path = f"{prefix}.{name}.bin"
             with open(path, "wb") as f:
                 f.write(blob)
@@ -108,6 +122,9 @@ class ProgramManager:
             return False
         with open(manifest_path) as f:
             manifest = json.load(f)["programs"]
+        if not manifest:
+            logger().error("Executable manifest '%s' lists no programs", manifest_path)
+            return False
         base = os.path.dirname(prefix)
         for name, fname in manifest.items():
             with open(os.path.join(base, fname) if base else fname, "rb") as f:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.records import DUMMY_COORD, TRACE_RECORD_DTYPE, make_worklist
+from ..core.records import TRACE_RECORD_DTYPE, make_worklist
 from ..utils.logging import logger
 from . import native
 
