@@ -22,9 +22,11 @@ from .vecmath import Vec3
 # Self-intersection epsilon. The reference's smallpaint lineage uses
 # 1e-6, but float32 ray origins sitting exactly on the surface produce
 # false self-hits clustered at t ~ 1e-6, exactly at that threshold -
-# making hit/miss a coin-flip on fp rounding. 1e-4 rejects the entire
-# self-hit cluster deterministically (scene scale is ~1-10 units).
-EPS = 1e-4
+# making hit/miss a coin-flip on fp rounding. 3e-5 rejects that cluster
+# deterministically while staying 3x below the smallest real feature:
+# the default scene's clear-coat shell gap of 1e-4 (codelets.cpp:115-116,
+# sphere radii 0.4 vs 0.4001), whose hits a larger EPS would reject.
+EPS = 3e-5
 _INF = jnp.inf
 
 
@@ -40,46 +42,6 @@ class Hit(NamedTuple):
     emission: Vec3  # (P,) emission of hit object
     emissive: jnp.ndarray  # (P,) bool
     material: jnp.ndarray  # (P,) int32 Material enum
-
-
-def _intersect_spheres(scene: Scene, o: Vec3, d: Vec3) -> jnp.ndarray:
-    """Return (P, S) hit distances (inf = miss)."""
-    cx = scene.sphere_center[:, 0]  # (S,)
-    cy = scene.sphere_center[:, 1]
-    cz = scene.sphere_center[:, 2]
-    # o - c, broadcast (P, 1) x (S,) -> (P, S):
-    ox = o.x[:, None] - cx
-    oy = o.y[:, None] - cy
-    oz = o.z[:, None] - cz
-    b = 2.0 * (ox * d.x[:, None] + oy * d.y[:, None] + oz * d.z[:, None])
-    c = ox * ox + oy * oy + oz * oz - scene.sphere_radius * scene.sphere_radius
-    disc = b * b - 4.0 * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    near = (-b - sq) * 0.5
-    far = (-b + sq) * 0.5
-    t = jnp.where(near > EPS, near, jnp.where(far > EPS, far, _INF))
-    return jnp.where(disc >= 0.0, t, _INF)
-
-
-def _intersect_discs(scene: Scene, o: Vec3, d: Vec3) -> jnp.ndarray:
-    """Return (P, D) hit distances (inf = miss)."""
-    nx = scene.disc_normal[:, 0]  # (D,)
-    ny = scene.disc_normal[:, 1]
-    nz = scene.disc_normal[:, 2]
-    denom = d.x[:, None] * nx + d.y[:, None] * ny + d.z[:, None] * nz  # (P, D)
-    co_x = scene.disc_center[:, 0] - o.x[:, None]
-    co_y = scene.disc_center[:, 1] - o.y[:, None]
-    co_z = scene.disc_center[:, 2] - o.z[:, None]
-    num = co_x * nx + co_y * ny + co_z * nz
-    safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-    t = num / safe_denom
-    # Hit point distance from disc centre:
-    px = o.x[:, None] + d.x[:, None] * t - scene.disc_center[:, 0]
-    py = o.y[:, None] + d.y[:, None] * t - scene.disc_center[:, 1]
-    pz = o.z[:, None] + d.z[:, None] * t - scene.disc_center[:, 2]
-    inside = px * px + py * py + pz * pz <= scene.disc_radius * scene.disc_radius
-    ok = (t > EPS) & inside & (jnp.abs(denom) > 1e-12)
-    return jnp.where(ok, t, _INF)
 
 
 def _sphere_t(cx, cy, cz, radius, o: Vec3, d: Vec3):

@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-_EPS = 1e-4  # must match core.geometry.EPS
+_EPS = 3e-5  # must match core.geometry.EPS
 _DIFFUSE_SCALE = 0.1
 _REFRACT_WEIGHT = 1.15
 

@@ -64,7 +64,10 @@ class Film:
         scale = np.zeros(len(records), np.float32)
         np.divide(1.0, records["sampleCount"], out=scale, where=records["sampleCount"] > 0)
         rgb = np.stack([records["r"], records["g"], records["b"]], axis=-1) * scale[:, None]
-        # Scatter-add (duplicate pixels possible after load-balancing shuffles):
+        # Scatter-add. NOTE: records are one-per-pixel by construction
+        # (load balancing permutes, never duplicates - worklist.py), an
+        # invariant the native OpenMP path (csrc/pt_host.cpp:46-48) relies
+        # on to skip atomics; np.add.at tolerates duplicates regardless.
         np.add.at(self.hdr, (v[ok], u[ok]), rgb[ok])
 
     def hdr_at_step(self, step: int) -> np.ndarray:

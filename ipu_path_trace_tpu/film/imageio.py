@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import struct
 
+import os
+
 import numpy as np
 
 _EXR_MAGIC = b"\x76\x2f\x31\x01"
@@ -137,5 +139,5 @@ def save_images(path: str, hdr_at_step: np.ndarray, ldr: np.ndarray) -> None:
     Mirrors AccumulatedImage::saveImages (AccumulatedImage.cpp:48-56).
     """
     write_png(path, ldr)
-    base = path.rsplit(".", 1)[0]
+    base = os.path.splitext(path)[0]
     write_exr(base + ".exr", hdr_at_step)

@@ -108,21 +108,31 @@ def bake_nif_env(
     points and bilinearly in between.  Selected with --nif-mode=baked;
     the default remains the fused in-loop MLP for reference parity.
     """
+    import numpy as np
     import jax
 
-    u = jnp.repeat(jnp.linspace(0.0, 1.0, height), width)
-    v = jnp.tile(jnp.linspace(0.0, 1.0, width), height)
-    if use_pallas and _pallas_available():
-        from ..ops.nif_pallas import nif_apply_pallas_t
+    # Serialise by row blocks (the max-nif-batch-size strategy of
+    # PathTracerApp.cpp:146-164): an unbatched 2048x4096 bake would
+    # materialise ~(8.4M, hidden) activations per layer on the XLA path.
+    rows_per_chunk = max(1, (30 * 1472) // width)
+    cols_v = jnp.tile(jnp.linspace(0.0, 1.0, width), rows_per_chunk)
+    out_np = np.empty((height, width, 3), np.float32)
+    apply_xla = jax.jit(nif_apply)
+    for r0 in range(0, height, rows_per_chunk):
+        r1 = min(r0 + rows_per_chunk, height)
+        rows_u = jnp.repeat(
+            jnp.arange(r0, r1, dtype=jnp.float32) / (height - 1), width
+        )
+        v = cols_v[: (r1 - r0) * width]
+        if use_pallas and _pallas_available():
+            from ..ops.nif_pallas import nif_apply_pallas_t
 
-        out_t = nif_apply_pallas_t(env.params, u, v)  # (3, P) native order
-        rgb = jnp.stack([out_t[2], out_t[1], out_t[0]], axis=-1)
-    else:
-        out = jax.jit(nif_apply)(env.params, u, v)  # (P, 3)
-        rgb = out[:, ::-1]
-    return TextureEnv(
-        texture=rgb.reshape(height, width, 3), bilinear=True
-    )
+            out_t = nif_apply_pallas_t(env.params, rows_u, v)  # (3, P)
+            chunk = jnp.stack([out_t[2], out_t[1], out_t[0]], axis=-1)
+        else:
+            chunk = apply_xla(env.params, rows_u, v)[:, ::-1]
+        out_np[r0:r1] = np.asarray(chunk).reshape(r1 - r0, width, 3)
+    return TextureEnv(texture=jnp.asarray(out_np), bilinear=True)
 
 
 def _eval_texture(env: TextureEnv, u, v) -> Vec3:
@@ -133,8 +143,8 @@ def _eval_texture(env: TextureEnv, u, v) -> Vec3:
     if env.bilinear is not None:
         r0 = jnp.floor(rf).astype(jnp.int32)
         c0 = jnp.floor(cf).astype(jnp.int32)
-        r1 = jnp.minimum(r0 + 1, h - 1)
-        c1 = jnp.minimum(c0 + 1, w - 1)
+        r1 = jnp.minimum(r0 + 1, h - 1)  # clamp at the poles
+        c1 = jnp.mod(c0 + 1, w)  # azimuth is periodic: wrap the phi seam
         ar = (rf - r0)[:, None]
         ac = (cf - c0)[:, None]
         t00 = tex[r0, c0]

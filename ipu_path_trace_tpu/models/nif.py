@@ -215,6 +215,17 @@ class NifParams(NamedTuple):
 def make_params(
     weights: NifWeights, meta: NifMetaData, dtype=jnp.bfloat16
 ) -> NifParams:
+    # The inference paths hard-code relu on hidden layers and identity on
+    # the output (like the reference network shape, NifModel.cpp:326);
+    # reject anything else at load time rather than silently mis-shading:
+    for i, l in enumerate(weights.layers):
+        is_last = i == len(weights.layers) - 1
+        allowed = ("none", "linear", "") if is_last else ("relu",)
+        if (l.activation or "none") not in allowed:
+            raise ValueError(
+                f"Unsupported activation '{l.activation}' on layer "
+                f"{l.name!r} (hidden layers must be relu; output linear)"
+            )
     kernels = tuple(jnp.asarray(l.kernel.astype(np.float32), dtype) for l in weights.layers)
     biases = tuple(
         jnp.asarray((l.bias if l.bias is not None else np.zeros(l.kernel.shape[1])).astype(np.float32), dtype)

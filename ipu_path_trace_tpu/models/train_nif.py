@@ -190,8 +190,11 @@ def main(argv=None) -> int:
     else:
         import imageio.v3 as iio
 
-        img = np.asarray(iio.imread(args.input), np.float32)
-        if img.max() > 64:
+        raw = iio.imread(args.input)
+        img = np.asarray(raw, np.float32)
+        # Integer images carry the 0..255 encoding; float images (e.g.
+        # Radiance .hdr) are radiance already (same rule as runtime/app.py):
+        if np.issubdtype(np.asarray(raw).dtype, np.integer):
             img = img / 255.0
     weights, meta, loss = train_nif(
         img,
