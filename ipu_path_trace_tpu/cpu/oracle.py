@@ -272,8 +272,6 @@ def trace_sample_oracle(
         radiance[emit_now] += (
             throughput[emit_now] * scene.emission[obj[emit_now]] * rr_factor
         )
-
-        prev_alive = alive
         alive = alive & hit_valid & ~emissive
 
         mat = scene.material[obj]

@@ -125,7 +125,6 @@ def make_step_fn(cfg: StaticConfig, mesh: Mesh | None = None):
     Signature: fn(scene, settings, work, step_key, env) -> WorkBatch.
     """
     if mesh is None:
-        from ..render.wavefront import render_step_impl
 
         def fn(scene, settings, work, step_key, env):
             return render_step_impl(scene, settings, cfg, work, step_key, env)

@@ -184,18 +184,18 @@ class PathTracerApp:
     def build(self) -> None:
         """Register and (optionally) AOT-compile the device programs."""
         cfg = self.cfg
-        with self.trace.span("create_path_tracing_jobs"):
-            worklist = create_tracing_jobs(cfg.width, cfg.height)
-            self.balancer = LoadBalancer(len(worklist))
-            self.balancer.randomise_work_list(worklist)
-            self.balancer.work.active = self.balancer.work.inactive.copy()
-        self.film = Film(cfg.width, cfg.height)
-
         if cfg.ipus > 1:
             self.mesh = make_mesh(cfg.ipus, cfg.mesh_shape)
             logger().info("Device mesh: %s", dict(self.mesh.shape))
             self.scene = replicate(self.scene, self.mesh)
             self.env = replicate(self.env, self.mesh)
+        with self.trace.span("create_path_tracing_jobs"):
+            n_px = self.mesh.shape["pixels"] if self.mesh is not None else 1
+            worklist = create_tracing_jobs(cfg.width, cfg.height, multiple_of=n_px)
+            self.balancer = LoadBalancer(len(worklist))
+            self.balancer.randomise_work_list(worklist)
+            self.balancer.work.active = self.balancer.work.inactive.copy()
+        self.film = Film(cfg.width, cfg.height)
 
         step_fn = make_step_fn(self.static_config(), self.mesh)
         self.programs.add("path_trace", step_fn)
@@ -337,7 +337,7 @@ class PathTracerApp:
                     total_rays["n"] = balancer.clear_inactive_accumulators()
                 if step % cfg.save_interval == 0 or step == steps:
                     if ui is not None:
-                        ui.start_sending_raw_image(film.hdr_at_step(step), step)
+                        ui.start_sending_raw_image(film.hdr_at_step(step))
                     else:
                         with self.trace.span("save_images"):
                             save_images(

@@ -47,10 +47,20 @@ def calculate_max_rays_per_tile(
     return max(num_workers, rays_per_tile)
 
 
-def create_tracing_jobs(width: int, height: int, num_tiles: int = VIRTUAL_TILES) -> np.ndarray:
-    """Padded whole-image worklist (createTracingJobs, LoadBalancer.cpp:54-86)."""
+def create_tracing_jobs(
+    width: int, height: int, num_tiles: int = VIRTUAL_TILES, multiple_of: int = 1
+) -> np.ndarray:
+    """Padded whole-image worklist (createTracingJobs, LoadBalancer.cpp:54-86).
+
+    ``multiple_of`` additionally rounds the padded size up to a multiple
+    (set to the mesh pixel-axis size so sharding divides evenly for any
+    chip count - padding records are DUMMY_COORD and skipped by the film).
+    """
     rays_per_tile = calculate_max_rays_per_tile(width, height, num_tiles)
-    return make_worklist(width, height, padded_size=rays_per_tile * num_tiles)
+    size = rays_per_tile * num_tiles
+    if multiple_of > 1 and size % multiple_of:
+        size += multiple_of - (size % multiple_of)
+    return make_worklist(width, height, padded_size=size)
 
 
 class WorkList:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import socket
 import threading
+from collections import deque
 
 import numpy as np
 
@@ -32,11 +33,15 @@ class InterfaceClient:
         self._sock.settimeout(None)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._tx = PacketMuxer(self._sock)
-        self._rx = PacketDemuxer(self._sock)
+        # Subscribe BEFORE starting the rx loop or early server packets
+        # (progress/hdr_header) are silently dropped (packetcomms.py
+        # documents subscribe-first; the server does the same):
+        self._rx = PacketDemuxer(self._sock, autostart=False)
         self.progress = 0.0
         self.path_rate = 0.0
         self.ray_rate = 0.0
-        self.preview_frames: list[bytes] = []
+        # Bounded: a long interactive run sends one JPEG per step.
+        self.preview_frames: deque[bytes] = deque(maxlen=8)
         self._hdr_shape: tuple[int, int] | None = None
         self._hdr_rows: dict[int, np.ndarray] = {}
         self._hdr_expected = 0
@@ -47,6 +52,7 @@ class InterfaceClient:
         self._rx.subscribe("render_preview", self.preview_frames.append)
         self._rx.subscribe("hdr_header", self._on_hdr_header)
         self._rx.subscribe("hdr_packet", self._on_hdr_packet)
+        self._rx.start()
 
     # --- state updates (client -> server) ---
     def set_env_rotation(self, degrees: float):

@@ -59,6 +59,7 @@ class InterfaceServer:
         self._hdr_thread: threading.Thread | None = None
         self._video_size: tuple[int, int] | None = None
         self._client_connected = threading.Event()
+        self._failed = False
 
     @staticmethod
     def _default_state() -> dict:
@@ -86,8 +87,12 @@ class InterfaceServer:
 
     def wait_for_client(self, timeout: float | None = None) -> bool:
         """Block until a client connects (the reference's start() blocks
-        inside waitForServerReady, InterfaceServer.hpp:177-182,230-236)."""
-        return self._client_connected.wait(timeout)
+        inside waitForServerReady, InterfaceServer.hpp:177-182,230-236).
+
+        Returns False on server failure (e.g. the port is already in
+        use) as well as on timeout."""
+        ok = self._client_connected.wait(timeout)
+        return ok and not self._failed
 
     def stop(self) -> None:
         self._stop_server = True
@@ -159,7 +164,10 @@ class InterfaceServer:
                 time.sleep(0.005)
         except OSError as e:
             logger().error("UI server socket error: %s", e)
+            self._failed = True
             self._server_ready.set()
+            # Unblock wait_for_client(); it reports failure via _failed:
+            self._client_connected.set()
         finally:
             logger().info("User interface server Tx/Rx loop exited.")
 
@@ -201,7 +209,7 @@ class InterfaceServer:
         Image.fromarray(ldr, mode="RGB").save(buf, format="JPEG", quality=85)
         self._sender.send("render_preview", buf.getvalue())
 
-    def start_sending_raw_image(self, hdr: np.ndarray, step: int) -> bool:
+    def start_sending_raw_image(self, hdr: np.ndarray) -> bool:
         """Chunked uncompressed HDR transfer (InterfaceServer.hpp:280-331).
 
         hdr must already be normalised by step (the app passes
@@ -225,7 +233,11 @@ class InterfaceServer:
         def tx():
             t0 = time.monotonic()
             for row in range(h):
-                self._sender.send("hdr_packet", pack_u32(row) + pack_f32vec(data[row].ravel()))
+                if not self._sender.send(
+                    "hdr_packet", pack_u32(row) + pack_f32vec(data[row].ravel())
+                ):
+                    logger().warning("Raw image transfer aborted (client gone).")
+                    return
                 time.sleep(0.002)  # keep the link interactive
             mib = data.nbytes / (1024.0 * 1024.0)
             logger().info(

@@ -91,7 +91,7 @@ def test_raw_hdr_transfer(pair):
     server, client = pair
     rng = np.random.default_rng(0)
     hdr = rng.random((12, 8, 3)).astype(np.float32)
-    assert server.start_sending_raw_image(hdr, step=1)
+    assert server.start_sending_raw_image(hdr)
     assert client.hdr_complete.wait(10)
     assert np.allclose(client.hdr_image(), hdr)
 
