@@ -383,7 +383,7 @@ def trace_sample_pallas(
     height: int,
     max_path_length: int,
     aa_noise_type: str = "normal",
-    block_size: int = 8192,
+    block_size: int = 4096,  # measured fastest on v5e (4096 > 8192 by ~9%)
     interpret: bool = False,
 ) -> TraceOut:
     """Trace one sample per pixel through the fused megakernel.

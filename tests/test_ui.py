@@ -133,3 +133,21 @@ def test_app_integration_with_ui():
     finally:
         client.close()
         server.stop()
+
+
+def test_port_in_use_fails_fast():
+    """A bind failure must surface as wait_for_client() == False, not a
+    hang (the CLI blocks on wait_for_client with no timeout)."""
+    import socket
+
+    from ipu_path_trace_tpu.ui.server import InterfaceServer
+
+    blocker = socket.create_server(("0.0.0.0", 0))
+    port = blocker.getsockname()[1]
+    try:
+        server = InterfaceServer(port)
+        server.start()
+        assert server.wait_for_client(timeout=10) is False
+        server.stop()
+    finally:
+        blocker.close()
