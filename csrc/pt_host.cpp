@@ -61,7 +61,8 @@ void pt_tonemap(const float* hdr, std::uint8_t* out, std::int64_t n,
   for (std::int64_t i = 0; i < n; ++i) {
     float x = hdr[i] * exposureScale;
     x = x > 0.0f ? std::pow(x, invGamma) : 0.0f;
-    x = x * 255.0f;
+    // Round to nearest like the reference's cv::convertTo saturate_cast:
+    x = x * 255.0f + 0.5f;
     out[i] = static_cast<std::uint8_t>(x < 0.f ? 0.f : (x > 255.f ? 255.f : x));
   }
 }

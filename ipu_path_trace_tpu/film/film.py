@@ -32,7 +32,8 @@ def tone_map(hdr: np.ndarray, step: int, exposure: float, gamma: float) -> np.nd
     inv_gamma = 1.0 / gamma
     with np.errstate(invalid="ignore"):
         ldr = np.power(np.maximum(scaled * exposure_scale, 0.0), inv_gamma)
-    return np.clip(ldr * 255.0, 0.0, 255.0).astype(np.uint8)
+    # Round to nearest like the reference's cv::convertTo saturate_cast:
+    return np.clip(np.rint(ldr * 255.0), 0.0, 255.0).astype(np.uint8)
 
 
 class Film:

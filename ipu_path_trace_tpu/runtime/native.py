@@ -37,7 +37,11 @@ def _load():
         if os.environ.get("IPT_DISABLE_NATIVE"):
             return None
         try:
-            if not os.path.exists(_SO) and os.path.isdir(_CSRC):
+            if os.path.isdir(_CSRC):
+                # Always invoke make: it rebuilds on source timestamp, so
+                # edits to pt_host.cpp aren't silently ignored, and a .so
+                # copied from another machine (-march=native!) is rebuilt
+                # for this CPU instead of SIGILLing mid-render.
                 subprocess.run(
                     ["make", "-s", "-C", _CSRC],
                     check=True,

@@ -19,17 +19,18 @@ _LEVELS = {
     "off": logging.CRITICAL + 10,
 }
 
+# Level 5 ("trace") needs a global name; the single-letter rendering of
+# the standard levels happens inside _Formatter so embedding applications
+# keep their own INFO/WARNING/... level names untouched.
 logging.addLevelName(5, "T")
-logging.addLevelName(logging.DEBUG, "D")
-logging.addLevelName(logging.INFO, "I")
-logging.addLevelName(logging.WARNING, "W")
-logging.addLevelName(logging.ERROR, "E")
-logging.addLevelName(logging.CRITICAL, "C")
+_LETTER = {"TRACE": "T", "T": "T", "DEBUG": "D", "INFO": "I",
+           "WARNING": "W", "ERROR": "E", "CRITICAL": "C"}
 
 
 class _Formatter(logging.Formatter):
     def format(self, record):
         record.tid = threading.get_native_id()
+        record.levelname = _LETTER.get(record.levelname, record.levelname[:1])
         return super().format(record)
 
 

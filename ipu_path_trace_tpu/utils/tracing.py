@@ -24,7 +24,9 @@ class TraceChannel:
 
     def __init__(self, name: str):
         self.name = name
-        self.spans: dict[str, list[float]] = defaultdict(list)
+        # (count, total_seconds) per span - O(1) memory however long the
+        # render session runs:
+        self.spans: dict[str, list[float]] = defaultdict(lambda: [0, 0.0])
 
     @contextlib.contextmanager
     def span(self, span_name: str):
@@ -34,17 +36,19 @@ class TraceChannel:
                 yield
             finally:
                 dt = time.perf_counter() - t0
-                self.spans[span_name].append(dt)
+                acc = self.spans[span_name]
+                acc[0] += 1
+                acc[1] += dt
                 logger().log(5, "span %s/%s: %.3fms", self.name, span_name, dt * 1e3)
 
     def total(self, span_name: str) -> float:
-        return sum(self.spans.get(span_name, []))
+        return self.spans[span_name][1] if span_name in self.spans else 0.0
 
     def report(self) -> dict[str, dict]:
         return {
-            k: {"count": len(v), "total_s": sum(v), "mean_ms": 1e3 * sum(v) / len(v)}
-            for k, v in self.spans.items()
-            if v
+            k: {"count": int(c), "total_s": t, "mean_ms": 1e3 * t / c}
+            for k, (c, t) in self.spans.items()
+            if c
         }
 
 
