@@ -133,3 +133,60 @@ def test_nif_loader_rejects_unknown_layers(tmp_path):
         )
     with pytest.raises(ValueError, match="Conv2D"):
         NifWeights.load_h5(p)
+
+
+def test_film_skips_padding_and_zero_sample_records():
+    """Padding records (DUMMY_COORD) and zero-sample records must not
+    contribute to (or crash) accumulation - on both the NumPy and the
+    native C++ path (csrc/pt_host.cpp skips coords outside the image)."""
+    from ipu_path_trace_tpu.core.records import DUMMY_COORD, TRACE_RECORD_DTYPE
+    from ipu_path_trace_tpu.film.film import Film
+
+    recs = np.zeros(6, TRACE_RECORD_DTYPE)
+    recs["u"] = [0, 1, DUMMY_COORD, 2, 3, DUMMY_COORD]
+    recs["v"] = [0, 0, DUMMY_COORD, 0, 0, 1]
+    recs["r"] = [2.0, 4.0, 99.0, 6.0, 8.0, 99.0]
+    recs["sampleCount"] = [2, 2, 2, 2, 0, 2]  # record 4 has zero samples
+    film = Film(4, 2)
+    film.accumulate(recs)
+    hdr = film.hdr_at_step(1)
+    assert hdr[0, 0, 0] == pytest.approx(1.0)  # 2.0 / 2
+    assert hdr[0, 1, 0] == pytest.approx(2.0)
+    assert hdr[0, 2, 0] == pytest.approx(3.0)
+    assert hdr[0, 3, 0] == 0.0  # zero-sample record contributes nothing
+    assert np.isfinite(hdr).all()
+    assert float(hdr.sum()) == pytest.approx(6.0)  # padding never lands
+
+
+def test_film_native_and_numpy_paths_agree():
+    """Force the NumPy fallback and compare against the default
+    (native-if-built) accumulate + tonemap."""
+    from ipu_path_trace_tpu.core.records import TRACE_RECORD_DTYPE
+    from ipu_path_trace_tpu.film.film import Film
+    from ipu_path_trace_tpu.runtime import native
+
+    rng = np.random.default_rng(0)
+    n = 512
+    recs = np.zeros(n, TRACE_RECORD_DTYPE)
+    recs["u"] = rng.permutation(n) % 32
+    recs["v"] = np.arange(n) // 32
+    for c in "rgb":
+        recs[c] = rng.uniform(0, 20, n).astype(np.float32)
+    recs["sampleCount"] = rng.integers(1, 9, n).astype(np.uint16)
+
+    film_a = Film(32, 16)
+    film_a.accumulate(recs)
+    ldr_a = film_a.ldr(1, exposure=0.5, gamma=2.2)
+
+    had = native._lib
+    native._lib = None  # force the NumPy fallback
+    try:
+        film_b = Film(32, 16)
+        film_b.accumulate(recs)
+        ldr_b = film_b.ldr(1, exposure=0.5, gamma=2.2)
+    finally:
+        native._lib = had
+
+    np.testing.assert_allclose(film_a.hdr, film_b.hdr, rtol=1e-6)
+    # LDR may differ by 1 where pow() rounding straddles a .5 boundary:
+    assert np.abs(ldr_a.astype(int) - ldr_b.astype(int)).max() <= 1
