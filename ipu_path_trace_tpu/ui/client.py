@@ -42,6 +42,9 @@ class InterfaceClient:
         self.ray_rate = 0.0
         # Bounded: a long interactive run sends one JPEG per step.
         self.preview_frames: deque[bytes] = deque(maxlen=8)
+        # Full preview byte stream (FMP4 video mode needs the init
+        # segment + fragments contiguous); bounded to ~16 MiB.
+        self.preview_stream = bytearray()
         self._hdr_shape: tuple[int, int] | None = None
         self._hdr_rows: dict[int, np.ndarray] = {}
         self._hdr_expected = 0
@@ -49,7 +52,7 @@ class InterfaceClient:
 
         self._rx.subscribe("progress", self._on_progress)
         self._rx.subscribe("sample_rate", self._on_sample_rate)
-        self._rx.subscribe("render_preview", self.preview_frames.append)
+        self._rx.subscribe("render_preview", self._on_preview)
         self._rx.subscribe("hdr_header", self._on_hdr_header)
         self._rx.subscribe("hdr_packet", self._on_hdr_packet)
         self._rx.start()
@@ -80,6 +83,37 @@ class InterfaceClient:
         self._tx.send("detach", pack_bool(True))
 
     # --- incoming handlers ---
+    def _on_preview(self, b: bytes):
+        self.preview_frames.append(b)
+        if len(self.preview_stream) < 16 * 1024 * 1024:
+            self.preview_stream.extend(b)
+
+    def preview_images(self) -> list[np.ndarray]:
+        """Decode received preview data into RGB frames.
+
+        Handles both server modes: an FMP4 MJPEG stream (one JPEG per
+        mdat fragment; ui/video.iter_mp4_samples) and per-frame JPEG
+        stills.  H.264 streams need an external decoder - the raw bytes
+        stay available in ``preview_stream``.
+        """
+        import io
+
+        from PIL import Image
+
+        def _jpegs() -> list[bytes]:
+            if self.preview_stream[4:8] == b"ftyp":
+                from .video import iter_mp4_samples
+
+                return list(iter_mp4_samples(bytes(self.preview_stream)))
+            return list(self.preview_frames)
+
+        out = []
+        for data in _jpegs():
+            if data[:2] != b"\xff\xd8":  # not JPEG (e.g. h264 sample)
+                continue
+            out.append(np.asarray(Image.open(io.BytesIO(data)).convert("RGB")))
+        return out
+
     def _on_progress(self, b: bytes):
         self.progress = unpack_f32(b)
 

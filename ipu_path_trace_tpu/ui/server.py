@@ -58,6 +58,7 @@ class InterfaceServer:
         self._conn: socket.socket | None = None
         self._hdr_thread: threading.Thread | None = None
         self._video_size: tuple[int, int] | None = None
+        self._video = None  # render_preview video encoder (ui/video.py)
         self._client_connected = threading.Event()
         self._failed = False
 
@@ -112,6 +113,14 @@ class InterfaceServer:
             self._hdr_thread = None
 
     def _communicate(self) -> None:
+        """Accept loop: serve one client at a time, forever.
+
+        After a client disconnects the per-client state is torn down and
+        the server returns to accept() - matching the reference's
+        defunct-state machine that survives reconnect cycles
+        (InterfaceServer.hpp / PathTracerApp.cpp:511-529) rather than
+        requiring a process restart.
+        """
         logger().info("User interface server listening on port %d", self.port)
         try:
             self._listen_sock = socket.create_server(("0.0.0.0", self.port))
@@ -120,48 +129,17 @@ class InterfaceServer:
             self._server_ready.set()  # port is bound; client may connect now
             self._listen_sock.settimeout(1.0)
             while not self._stop_server:
+                conn = None
                 try:
-                    self._conn, addr = self._listen_sock.accept()
-                    break
+                    conn, _addr = self._listen_sock.accept()
                 except socket.timeout:
                     continue
-            if self._conn is None:
-                return
-            logger().info("User interface client connected.")
-            self._conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            self._sender = PacketMuxer(self._conn)
-            # Subscribe before starting the rx loop so no early client
-            # packet is dropped; only then signal readiness (mirrors the
-            # reference setting serverReady after subscriptions,
-            # InterfaceServer.hpp:110-169):
-            rx = PacketDemuxer(self._conn, autostart=False)
-            self._receiver = rx
-
-            def set_state(k, v, updates=True):
-                with self._state_lock:
-                    self._state[k] = v
-                    if updates:
-                        self._state_updated = True
-
-            rx.subscribe("env_rotation", lambda b: set_state("env_rotation", unpack_f32(b)))
-            rx.subscribe("detach", lambda b: set_state("detach", unpack_bool(b)))
-            rx.subscribe("stop", lambda b: set_state("stop", unpack_bool(b)))
-            # Tone-mapping is host-side: no restart on exposure/gamma
-            # (InterfaceServer.hpp:131-143):
-            rx.subscribe("exposure", lambda b: set_state("exposure", unpack_f32(b), updates=False))
-            rx.subscribe("gamma", lambda b: set_state("gamma", unpack_f32(b), updates=False))
-            rx.subscribe("fov", lambda b: set_state("fov", unpack_f32(b)))
-            rx.subscribe("load_nif", lambda b: set_state("load_nif", unpack_string(b)))
-            rx.subscribe(
-                "interactive_samples",
-                lambda b: set_state("interactive_samples", unpack_u32(b)),
-            )
-
-            rx.start()
-            self._client_connected.set()
-            logger().info("User interface server entering Tx/Rx loop.")
-            while not self._stop_server and rx.ok():
-                time.sleep(0.005)
+                except OSError:
+                    if self._stop_server:
+                        return
+                    raise
+                self._serve_client(conn)
+                self._teardown_client()
         except OSError as e:
             logger().error("UI server socket error: %s", e)
             self._failed = True
@@ -169,7 +147,71 @@ class InterfaceServer:
             # Unblock wait_for_client(); it reports failure via _failed:
             self._client_connected.set()
         finally:
-            logger().info("User interface server Tx/Rx loop exited.")
+            logger().info("User interface server accept loop exited.")
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        """Tx/Rx loop for one connected client until disconnect or stop."""
+        self._conn = conn
+        logger().info("User interface client connected.")
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # Subscribe before starting the rx loop so no early client
+        # packet is dropped; only then signal readiness (mirrors the
+        # reference setting serverReady after subscriptions,
+        # InterfaceServer.hpp:110-169):
+        rx = PacketDemuxer(conn, autostart=False)
+        self._receiver = rx
+
+        def set_state(k, v, updates=True):
+            with self._state_lock:
+                self._state[k] = v
+                if updates:
+                    self._state_updated = True
+
+        rx.subscribe("env_rotation", lambda b: set_state("env_rotation", unpack_f32(b)))
+        rx.subscribe("detach", lambda b: set_state("detach", unpack_bool(b)))
+        rx.subscribe("stop", lambda b: set_state("stop", unpack_bool(b)))
+        # Tone-mapping is host-side: no restart on exposure/gamma
+        # (InterfaceServer.hpp:131-143):
+        rx.subscribe("exposure", lambda b: set_state("exposure", unpack_f32(b), updates=False))
+        rx.subscribe("gamma", lambda b: set_state("gamma", unpack_f32(b), updates=False))
+        rx.subscribe("fov", lambda b: set_state("fov", unpack_f32(b)))
+        rx.subscribe("load_nif", lambda b: set_state("load_nif", unpack_string(b)))
+        rx.subscribe(
+            "interactive_samples",
+            lambda b: set_state("interactive_samples", unpack_u32(b)),
+        )
+
+        rx.start()
+        self._sender = PacketMuxer(conn)
+        self._client_connected.set()
+        logger().info("User interface server entering Tx/Rx loop.")
+        while not self._stop_server and rx.ok():
+            time.sleep(0.005)
+        logger().info("User interface server Tx/Rx loop exited.")
+
+    def _teardown_client(self) -> None:
+        """Reset per-client state so a new client can attach."""
+        self._client_connected.clear()
+        self._sender = None
+        rx, self._receiver = self._receiver, None
+        if rx is not None:
+            rx.close()
+        if self._hdr_thread is not None:
+            self._hdr_thread.join(timeout=5)
+            self._hdr_thread = None
+        conn, self._conn = self._conn, None
+        if conn is not None:
+            try:
+                conn.close()
+            except OSError:
+                pass
+        # A fresh client needs a fresh stream (it missed the init segment):
+        if self._video is not None and self._video_size is not None:
+            try:
+                self._video.close()
+            except Exception:  # noqa: BLE001
+                pass
+            self.initialise_video_stream(*self._video_size)
 
     # --- state API (consumeState/stateChanged, InterfaceServer.hpp:204-218) ---
     def state_changed(self) -> bool:
@@ -188,26 +230,54 @@ class InterfaceServer:
 
     # --- outgoing channels -------------------------------------------------
     def initialise_video_stream(self, width: int, height: int) -> None:
+        """Set up FMP4 video on render_preview (InterfaceServer.hpp:238-244).
+
+        Falls back to per-frame JPEG stills if no encoder can start.
+        """
         self._video_size = (width, height)
+        try:
+            from .video import make_encoder
+
+            self._video = make_encoder(width, height)
+            logger().info(
+                "render_preview video stream: %s %dx%d",
+                self._video.codec, width, height,
+            )
+        except Exception as e:  # noqa: BLE001 - any encoder failure -> stills
+            logger().warning("Video encoder unavailable (%s); using JPEG stills.", e)
+            self._video = None
 
     def update_progress(self, step: int, total_steps: int) -> None:
-        if self._sender is not None:
-            self._sender.send("progress", pack_f32(step / float(total_steps)))
+        sender = self._sender
+        if sender is not None:
+            sender.send("progress", pack_f32(step / float(total_steps)))
 
     def update_sample_rate(self, path_rate: float, ray_rate: float) -> None:
         # SampleRates struct: two f32 (InterfaceServer.hpp:73-81):
-        if self._sender is not None:
-            self._sender.send("sample_rate", pack_f32(path_rate) + pack_f32(ray_rate))
+        sender = self._sender
+        if sender is not None:
+            sender.send("sample_rate", pack_f32(path_rate) + pack_f32(ray_rate))
 
     def send_preview_image(self, ldr: np.ndarray) -> None:
-        """JPEG-encode the tone-mapped frame onto render_preview."""
-        if self._sender is None:
+        """Encode the tone-mapped frame onto render_preview.
+
+        Emits FMP4 video fragments when a stream was initialised and an
+        encoder is available (the reference's videolib/FFmpeg behaviour,
+        InterfaceServer.hpp:100-108,272-278), falling back to per-frame
+        JPEG stills otherwise.
+        """
+        sender = self._sender
+        if sender is None:
+            return
+        if self._video is not None:
+            for chunk in self._video.encode(ldr):
+                sender.send("render_preview", chunk)
             return
         from PIL import Image
 
         buf = io.BytesIO()
         Image.fromarray(ldr, mode="RGB").save(buf, format="JPEG", quality=85)
-        self._sender.send("render_preview", buf.getvalue())
+        sender.send("render_preview", buf.getvalue())
 
     def start_sending_raw_image(self, hdr: np.ndarray) -> bool:
         """Chunked uncompressed HDR transfer (InterfaceServer.hpp:280-331).

@@ -87,6 +87,78 @@ def test_preview_frame(pair):
     assert img[..., 0].mean() > 150
 
 
+def test_video_preview_stream(pair):
+    """FMP4 video on render_preview: a client must decode >= 2 frames
+    from the muxed stream (InterfaceServer.hpp:100-108,272-278)."""
+    server, client = pair
+    server.initialise_video_stream(16, 16)
+    assert server._video is not None
+    f0 = np.zeros((16, 16, 3), np.uint8)
+    f0[:, :, 1] = 220
+    f1 = np.zeros((16, 16, 3), np.uint8)
+    f1[:, :, 2] = 220
+    server.send_preview_image(f0)
+    server.send_preview_image(f1)
+    if server._video.codec == "h264/fmp4":
+        # Can't decode h264 without ffmpeg; just require stream bytes.
+        assert _wait(lambda: len(client.preview_stream) > 0)
+        return
+    assert _wait(lambda: len(client.preview_images()) >= 2)
+    imgs = client.preview_images()
+    assert imgs[0][..., 1].mean() > 150  # frame 0 is green
+    assert imgs[1][..., 2].mean() > 150  # frame 1 is blue
+
+
+def test_fmp4_mjpeg_roundtrip():
+    """The muxer's fragments parse back to the encoded JPEGs."""
+    from ipu_path_trace_tpu.ui.video import Fmp4MjpegEncoder, iter_mp4_boxes, iter_mp4_samples
+
+    enc = Fmp4MjpegEncoder(32, 24)
+    frames = []
+    rng = np.random.default_rng(3)
+    stream = b""
+    for _ in range(3):
+        frame = rng.integers(0, 255, (24, 32, 3), np.uint8).astype(np.uint8)
+        frames.append(frame)
+        for chunk in enc.encode(frame):
+            stream += chunk
+    types = [t for t, _ in iter_mp4_boxes(stream)]
+    assert types == [b"ftyp", b"moov"] + [b"moof", b"mdat"] * 3
+    samples = list(iter_mp4_samples(stream))
+    assert len(samples) == 3
+    import io
+    from PIL import Image
+
+    for frame, jpg in zip(frames, samples):
+        assert jpg[:2] == b"\xff\xd8"
+        img = np.asarray(Image.open(io.BytesIO(jpg)))
+        assert img.shape == frame.shape
+
+
+def test_client_reconnect():
+    """The server must accept a new client after a disconnect
+    (PathTracerApp.cpp:511-529 reconnect semantics)."""
+    server = InterfaceServer(0)
+    server.start()
+    try:
+        c1 = InterfaceClient("127.0.0.1", server.port)
+        assert server.wait_for_client(5)
+        c1.set_fov(50.0)
+        assert _wait(lambda: server.get_state()["fov"] == 50.0)
+        c1.close()
+        assert _wait(lambda: not server._client_connected.is_set())
+
+        c2 = InterfaceClient("127.0.0.1", server.port)
+        assert server.wait_for_client(5)
+        server.update_progress(1, 2)
+        assert _wait(lambda: abs(c2.progress - 0.5) < 1e-6)
+        c2.set_fov(70.0)
+        assert _wait(lambda: server.get_state()["fov"] == 70.0)
+        c2.close()
+    finally:
+        server.stop()
+
+
 def test_raw_hdr_transfer(pair):
     server, client = pair
     rng = np.random.default_rng(0)
