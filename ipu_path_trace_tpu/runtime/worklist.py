@@ -126,21 +126,19 @@ class LoadBalancer:
         order = np.argsort(records["pathLength"], kind="stable")
         sorted_recs = records[order]
         n = len(sorted_recs)
-        t = self.num_tiles
-        lo = np.arange(n // 2)
-        hi = n - 1 - lo
-        if n % (2 * t) == 0:
-            # Tile-structured deal: round r hands tile k the pair
-            # (lo[r*T+k], hi[r*T+k]); flatten tile-major like the C++.
-            rounds = n // (2 * t)
-            lo2 = lo.reshape(rounds, t).T  # (T, R)
-            hi2 = hi.reshape(rounds, t).T
-            idx = np.stack([lo2, hi2], axis=-1).reshape(-1)
-        else:
-            # Fallback: global short/long interleave.
-            idx = np.empty(n, np.int64)
-            idx[0::2] = np.arange((n + 1) // 2)
-            idx[1::2] = hi[: n // 2]
+        t = max(self.num_tiles, 1)
+        # Exact vectorised replay of the C++ deal (csrc/pt_host.cpp
+        # pt_load_balance) for ANY n: pair j = (sorted[j], sorted[n-1-j])
+        # goes to tile j % t on round j // t; tiles flatten tile-major
+        # with their pairs in round order; an odd middle record lands at
+        # the end of tile 0's run.
+        m = n // 2
+        j = np.arange(m, dtype=np.int64)
+        by_tile = np.argsort(j % t, kind="stable")  # tile-major, round order
+        idx = np.stack([by_tile, n - 1 - by_tile], axis=1).reshape(-1)
+        if n % 2:
+            tile0_pairs = int((m + t - 1) // t)
+            idx = np.insert(idx, 2 * tile0_pairs, m)
         self.work.inactive = sorted_recs[idx]
 
     def clear_inactive_accumulators(self) -> int:

@@ -48,6 +48,37 @@ def test_load_balancer_redeal():
     assert sorted(out["pathLength"]) == list(range(24))
 
 
+@pytest.mark.parametrize("n,tiles", [(24, 4), (26, 4), (23, 4), (7, 3), (5, 8)])
+def test_load_balancer_native_numpy_parity(n, tiles):
+    """The NumPy fallback must replay the C++ deal exactly for ANY size,
+    including non-divisible and odd worklists (pt_load_balance)."""
+    from ipu_path_trace_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    wl = np.zeros(n, TRACE_RECORD_DTYPE)
+    rng = np.random.default_rng(n * 31 + tiles)
+    # Distinct path lengths: std::sort is unstable, so ties could
+    # legitimately permute; the deal itself must match exactly.
+    wl["pathLength"] = rng.permutation(n)
+    wl["u"] = np.arange(n)
+
+    lb_native = LoadBalancer(n, num_tiles=tiles)
+    lb_native.work.inactive = wl.copy()
+    lb_native.allocate_work_by_path_length()
+
+    lb_numpy = LoadBalancer(n, num_tiles=tiles)
+    lb_numpy.work.inactive = wl.copy()
+    had = native._lib
+    try:
+        native._lib = None
+        lb_numpy.allocate_work_by_path_length()
+    finally:
+        native._lib = had
+
+    assert (lb_native.work.inactive == lb_numpy.work.inactive).all()
+
+
 def test_load_balancer_clear_and_sum():
     lb = LoadBalancer(10)
     wl = np.zeros(10, TRACE_RECORD_DTYPE)
