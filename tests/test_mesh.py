@@ -74,6 +74,99 @@ def test_multichip_matches_singlechip_statistically():
     assert abs(m_multi - m_single) / max(m_single, 1e-9) < 0.15
 
 
+def _simulate_sharded(scene, settings, cfg, work, key, env, n_px, n_sm):
+    """Single-device replay of the sharded semantics: slice the worklist
+    like the pixel axis, fold the key like mesh.local_step does
+    (parallel/mesh.py:82-83), and sum sample-replica deltas like psum."""
+    from ipu_path_trace_tpu.core.records import WorkBatch
+
+    n = work.u.shape[0]
+    per = n // n_px
+    outs = []
+    for i in range(n_px):
+        sl = jax.tree.map(lambda x: x[i * per : (i + 1) * per], work)
+        acc = None
+        for s in range(n_sm):
+            k = jax.random.fold_in(jax.random.fold_in(key, i), s)
+            o = render_step(scene, settings, cfg, sl, k, env)
+            delta = jax.tree.map(lambda a, b: a - b, o, sl)
+            acc = delta if acc is None else jax.tree.map(lambda a, b: a + b, acc, delta)
+        outs.append(jax.tree.map(lambda a, b: a + b, sl, acc))
+    return WorkBatch(
+        *[jnp.concatenate([getattr(o, f) for o in outs]) for f in WorkBatch._fields]
+    )
+
+
+def _nif_env():
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
+
+    weights, meta = make_synthetic_nif(key=0, hidden=32, num_hidden=2, skip_layer=1)
+    return NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+
+
+@pytest.mark.parametrize(
+    "shape,env_kind",
+    [("8x1", "const"), ("4x2", "const"), ("4x2", "nif"), ("2x4", "nif")],
+)
+def test_sharded_equals_singlechip_exactly(shape, env_kind):
+    """The sharded render must EQUAL the single-device replay of the same
+    fold_in-derived streams - the correctness property psum + fold_in
+    must preserve (reference multi-IPU intent: PathTracerApp.cpp:205-252)."""
+    n_px, n_sm = parse_mesh_shape(shape, 8)
+    mesh = make_mesh(8, shape)
+    scene = default_scene()
+    env = _nif_env() if env_kind == "nif" else ConstantEnv(
+        colour=jnp.asarray([1.0, 0.9, 0.8])
+    )
+    cfg = StaticConfig(width=W, height=H)
+    settings = RenderSettings.make(samples_per_step=2)
+    work = to_device_batch(make_worklist(W, H))
+    key = jax.random.key(7)
+
+    out_sharded = sharded_render_step(
+        replicate(scene, mesh), settings, cfg, shard_work(work, mesh),
+        key, replicate(env, mesh), mesh,
+    )
+    out_single = _simulate_sharded(scene, settings, cfg, work, key, env, n_px, n_sm)
+
+    for f in out_single._fields:
+        a = np.asarray(getattr(out_sharded, f))
+        b = np.asarray(getattr(out_single, f))
+        if n_sm == 1:
+            np.testing.assert_array_equal(a, b, err_msg=f)
+        else:
+            # psum may associate the cross-replica adds differently:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7, err_msg=f)
+
+
+def test_sharded_uneven_padding_matches_singlechip():
+    """Padded worklists (pixel count not divisible by the mesh) shard and
+    render identically to the single-device replay; padding records keep
+    DUMMY coords so the film skips them."""
+    w, h = 10, 7  # 70 pixels -> pad to 72 for an 8-way pixel axis
+    mesh = make_mesh(8, "8x1")
+    scene = default_scene()
+    env = ConstantEnv(colour=jnp.asarray([0.8, 0.8, 1.0]))
+    cfg = StaticConfig(width=w, height=h)
+    settings = RenderSettings.make(samples_per_step=2)
+    work = to_device_batch(make_worklist(w, h, padded_size=72))
+    key = jax.random.key(11)
+
+    out_sharded = sharded_render_step(
+        replicate(scene, mesh), settings, cfg, shard_work(work, mesh),
+        key, replicate(env, mesh), mesh,
+    )
+    out_single = _simulate_sharded(scene, settings, cfg, work, key, env, 8, 1)
+    for f in out_single._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_sharded, f)), np.asarray(getattr(out_single, f)),
+            err_msg=f,
+        )
+    # Padding records really are dummies:
+    assert (np.asarray(out_sharded.u)[70:] == 0xFFFF).all()
+
+
 def test_worklist_divisibility_error():
     mesh = make_mesh(8, "8x1")
     scene = replicate(default_scene(), mesh)
