@@ -116,23 +116,41 @@ sharded_render_step = partial(jax.jit, static_argnames=("cfg", "mesh"))(
 )
 
 
-def make_step_fn(cfg: StaticConfig, mesh: Mesh | None = None):
+def make_step_fn(cfg: StaticConfig, mesh: Mesh | None = None, rng_impl: str = "auto"):
     """Build the jitted render-step callable for a config + optional mesh.
 
     The static config (and mesh) are closed over so the returned function
     takes only array pytrees - which makes it directly AOT-exportable
     (runtime/exe_cache.ProgramManager.save).
     Signature: fn(scene, settings, work, step_key, env) -> WorkBatch.
+
+    ``step_key`` may be a typed PRNG key or its raw ``jax.random.key_data``
+    words.  AOT callers MUST pass raw data: a typed-key argument makes the
+    deserialised program fail at call time (Shardy rejects the replicated
+    sharding on the opaque key - rank 0 spec vs rank 1 key data), so the
+    wrap happens inside the traced function with a statically resolved
+    ``rng_impl``.
     """
+    from ..render.wavefront import resolve_rng_impl
+
+    impl = resolve_rng_impl(rng_impl)
+
+    def as_key(k):
+        if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+            return k
+        return jax.random.wrap_key_data(k, impl=impl)
+
     if mesh is None:
 
         def fn(scene, settings, work, step_key, env):
-            return render_step_impl(scene, settings, cfg, work, step_key, env)
+            return render_step_impl(scene, settings, cfg, work, as_key(step_key), env)
 
     else:
 
         def fn(scene, settings, work, step_key, env):
-            return sharded_render_step_impl(scene, settings, cfg, work, step_key, env, mesh)
+            return sharded_render_step_impl(
+                scene, settings, cfg, work, as_key(step_key), env, mesh
+            )
 
     return jax.jit(fn)
 

@@ -79,6 +79,13 @@ def apply_thin_lens(d: Vec3, settings, l1, l2) -> tuple[Vec3, Vec3]:
     return o.where(dof, Vec3.zeros(lx.shape)), new_d.where(dof, d)
 
 
+def resolve_rng_impl(rng_impl: str = "auto") -> str:
+    """``auto`` -> hardware RngBitGenerator on TPU, threefry elsewhere."""
+    if rng_impl == "auto":
+        return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return rng_impl
+
+
 def make_base_key(seed: int, rng_impl: str = "auto") -> jax.Array:
     """Base PRNG key for a render.
 
@@ -89,9 +96,7 @@ def make_base_key(seed: int, rng_impl: str = "auto") -> jax.Array:
     counter-based, the TPU analog of poprand's per-tile streams
     (reference: src/PathTracerApp.cpp:266-299).
     """
-    if rng_impl == "auto":
-        rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
-    return jax.random.key(seed, impl=rng_impl)
+    return jax.random.key(seed, impl=resolve_rng_impl(rng_impl))
 
 
 def sample_key(base_key: jax.Array, sample_idx) -> jax.Array:

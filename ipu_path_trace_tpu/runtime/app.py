@@ -197,7 +197,7 @@ class PathTracerApp:
             self.balancer.work.active = self.balancer.work.inactive.copy()
         self.film = Film(cfg.width, cfg.height)
 
-        step_fn = make_step_fn(self.static_config(), self.mesh)
+        step_fn = make_step_fn(self.static_config(), self.mesh, rng_impl=self.cfg.rng_impl)
         self.programs.add("path_trace", step_fn)
 
         if cfg.load_exe:
@@ -224,7 +224,9 @@ class PathTracerApp:
             self.scene,
             self.settings(self.samples_per_step),
             work,
-            make_base_key(self.cfg.seed, self.cfg.rng_impl),
+            # Raw key words: typed keys break AOT-exported programs at
+            # call time (make_step_fn docstring):
+            jax.random.key_data(make_base_key(self.cfg.seed, self.cfg.rng_impl)),
             self.env,
         )
 
@@ -299,7 +301,7 @@ class PathTracerApp:
                 work_dev = to_device_batch(balancer.work.active)
                 if self.mesh is not None:
                     work_dev = shard_work(work_dev, self.mesh)
-                step_key = jax.random.fold_in(key, step)
+                step_key = jax.random.key_data(jax.random.fold_in(key, step))
                 out = self.programs.run(
                     "path_trace", self.scene, settings, work_dev, step_key, self.env
                 )

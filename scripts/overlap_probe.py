@@ -50,17 +50,20 @@ def _vpu_work(u, rounds):
     return x
 
 
-def k_mxu(u_ref, out_ref, *w_refs):
+def k_mxu(u_ref, *refs):
+    w_refs, out_ref = refs[:-1], refs[-1]
     feats = jnp.broadcast_to(u_ref[:].astype(jnp.bfloat16), (48, B))
     y = _mxu_chain(feats, w_refs)
     out_ref[:] = jnp.broadcast_to(y[0:1], out_ref.shape)
 
 
-def k_vpu(u_ref, out_ref, *w_refs):
+def k_vpu(u_ref, *refs):
+    out_ref = refs[-1]
     out_ref[:] = _vpu_work(u_ref[:], VPU_ROUNDS).reshape(1, B)
 
 
-def k_both(u_ref, out_ref, *w_refs):
+def k_both(u_ref, *refs):
+    w_refs, out_ref = refs[:-1], refs[-1]
     # Independent streams, interleaved in program order: issue matmuls
     # layer by layer with VPU work between them.
     feats = jnp.broadcast_to(u_ref[:].astype(jnp.bfloat16), (48, B))

@@ -45,6 +45,42 @@ def test_load_rejects_missing_and_empty_manifest(tmp_path):
     assert not pm.load(str(empty))
 
 
+def test_save_load_sharded_step(tmp_path):
+    """AOT export of the FULL sharded render step (shard_map over a mesh)
+    must round-trip - otherwise --save-exe with --ipus N dies after an
+    expensive multi-chip compile (make_step_fn, parallel/mesh.py)."""
+    from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.models.envlight import ConstantEnv
+    from ipu_path_trace_tpu.parallel.mesh import make_mesh, make_step_fn, replicate, shard_work
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+
+    mesh = make_mesh(8, "4x2")
+    cfg = StaticConfig(width=16, height=16)
+    scene = replicate(default_scene(), mesh)
+    env = replicate(ConstantEnv(colour=jnp.asarray([1.0, 1.0, 1.0])), mesh)
+    work = shard_work(to_device_batch(make_worklist(16, 16)), mesh)
+    settings = RenderSettings.make(samples_per_step=2)
+    # Raw key words: typed-key args break exported shard_map programs
+    # at call time (make_step_fn docstring).
+    key = jax.random.key_data(jax.random.key(0))
+    args = (scene, settings, work, key, env)
+
+    pm = ProgramManager()
+    pm.add("render_step", make_step_fn(cfg, mesh))
+    prefix = str(tmp_path / "exe")
+    pm.save(prefix, {"render_step": args})
+
+    pm2 = ProgramManager()
+    pm2.add("render_step", make_step_fn(cfg, mesh))
+    assert pm2.load(prefix)
+    out = pm2.run("render_step", *args)
+    assert "render_step" in pm2._loaded  # served by the AOT program
+    assert (np.asarray(out.sample_count) == 4).all()  # 2 local x 2 replicas
+    expect = make_step_fn(cfg, mesh)(*args)
+    np.testing.assert_array_equal(np.asarray(out.r), np.asarray(expect.r))
+
+
 def test_aval_mismatch_falls_back_to_jit(tmp_path):
     pm = ProgramManager()
     pm.add("double_add", jax.jit(_fn))
