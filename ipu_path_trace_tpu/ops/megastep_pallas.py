@@ -1,0 +1,351 @@
+"""The fully fused render step: sample loop + trace + NIF in ONE kernel.
+
+This is the TPU answer to the reference keeping its entire progressive
+step on-device - the sample loop (popops::countedForLoop,
+reference: src/PathTracerApp.cpp:466-468) around the RayTraceKernel and
+the NIF exec - with one addition the reference cannot make: the trace
+and the neural env light run in the SAME kernel, software-pipelined so
+the VPU and the MXU overlap.
+
+Why this shape (all numbers measured on v5e at 1104x1000):
+
+* The NIF matmul chain is the cost: ~1.67 padded MFLOP/ray (the 320/368
+  widths pad to 384-multiples of the 128-wide MXU) = 9.4 ms/sample at
+  peak - and the standalone fused NIF kernel measures 9.5 ms, i.e. it
+  already runs AT its roofline.  The trace megakernel is pure VPU work
+  at 3.9 ms/sample.  Run separately that is ~13.4 ms/sample of serial
+  device time.
+* The VPU and MXU execute concurrently when independent work is
+  interleaved in one kernel (measured: a NIF-shaped matmul chain +
+  trace-shaped transcendental work issued interleaved run in ~max of
+  their standalone times, not the sum - scripts/overlap_probe.py).
+* Therefore: iteration s of the in-kernel sample loop traces sample s
+  (VPU) while evaluating the NIF for sample s-1's escaped rays (MXU),
+  the layer matmuls hand-interleaved between bounce computations.  The
+  env contribution lands one iteration late (plus an epilogue for the
+  last sample), which changes nothing: accumulation is a sum.
+
+Per-step HBM traffic drops from O(samples * 9P f32) for the two-kernel
+pipeline to O(P) - rays, escape records and activations never leave
+VMEM, like the reference's SRAM-resident design (README.md:7-12).
+
+Bounce semantics are render/wavefront.bounce_body via
+trace_pallas.bounce_once; NIF semantics are models/nif.nif_apply via
+nif_pallas.nif_layer/nif_decode.  Host-noise mode gives the exact-replay
+parity oracle (tests/test_megastep.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.scene import Scene
+from ..core.vecmath import Vec3
+from ..models.nif import NifParams
+from .nif_pallas import _pack_scal, equirect_from_dir, nif_decode, nif_encode, nif_layer
+from .trace_pallas import (
+    bounce_once,
+    draw_aa_jitter,
+    initial_bounce_state,
+    make_uniform_fn,
+    pack_scene,
+    raygen,
+)
+
+
+class MegaStepOut(NamedTuple):
+    radiance: Vec3  # per-pixel radiance sum over the step's samples
+    path_len: jnp.ndarray  # int32 path-length sum
+
+
+def _env_contrib(ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs,
+                 embedding_dim: int, upcast_dot: bool = False):
+    """Escaped-ray env shade: equirect -> NIF chain -> weighted rgb."""
+    num_layers = len(w_refs)
+    u, v = equirect_from_dir(ex, ey, ez, scal_ref[0, 5])
+    feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
+    x = feats
+    for i in range(num_layers):
+        x = nif_layer(x, feats, w_refs[i], b_refs[i], i == num_layers - 1,
+                      upcast_dot)
+    out = nif_decode(x, scal_ref)  # (3, B), network (bgr) channel order
+    # bgr -> rgb flip + throughput weights (codelets.cpp:377-378):
+    return wx * out[2], wy * out[1], wz * out[0]
+
+
+def _kernel(
+    num_s: int,
+    num_d: int,
+    max_path_length: int,
+    num_layers: int,
+    embedding_dim: int,
+    width: int,
+    height: int,
+    aa_noise_type: str,
+    host_samples: int,  # 0 = hardware PRNG; >0 = host-noise parity mode
+    upcast_dot: bool,  # interpret mode: f32 dots (nif_pallas.nif_layer)
+    # refs:
+    fpar_ref,  # SMEM (1, 8) f32
+    ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed0 seed1 n_samples
+    scal_ref,  # SMEM (1, 8) f32 NIF decode scalars + azimuth
+    sph_ref,
+    dsc_ref,
+    cols_ref,  # VMEM (B,)
+    rows_ref,
+    *refs,  # w*num_layers, b*num_layers, [noise], accr(3,B), plen(1,B)
+):
+    w_refs = refs[:num_layers]
+    b_refs = refs[num_layers : 2 * num_layers]
+    rest = refs[2 * num_layers :]
+    if host_samples:
+        noise_ref, acc_ref, plen_ref = rest
+    else:
+        acc_ref, plen_ref = rest
+        noise_ref = None
+
+    n = cols_ref.shape[0]
+    tanfov_x = fpar_ref[0, 0]
+    tanfov_y = fpar_ref[0, 1]
+    aa_scale = fpar_ref[0, 2]
+    refr_index = fpar_ref[0, 3]
+    stop_prob = fpar_ref[0, 4]
+    aperture = fpar_ref[0, 5]
+    focal = fpar_ref[0, 6]
+    roulette_depth = ipar_ref[0, 0]
+
+    if not host_samples:
+        pltpu.prng_seed(ipar_ref[0, 1], ipar_ref[0, 2] + pl.program_id(0))
+    uniforms = make_uniform_fn(n)
+
+    # Layer i of the PREVIOUS sample's NIF runs after bounce schedule[i]
+    # of the CURRENT sample's trace - MXU and VPU work interleave so the
+    # units overlap (module docstring).
+    cols = cols_ref[:]
+    rows = rows_ref[:]
+    zero = jnp.zeros((n,), jnp.float32)
+
+    def one_sample(sample_idx, carry):
+        (ar, ag, ab, apl, ex, ey, ez, wx, wy, wz) = carry
+
+        def noise_row(j):
+            return noise_ref[sample_idx, j, :]
+
+        if host_samples:
+            a1, a2 = noise_row(0), noise_row(1)
+            l1, l2 = noise_row(2), noise_row(3)
+        else:
+            # ONE stateful PRNG call for the whole sample: prng ops fence
+            # instruction scheduling, and per-bounce draws would stop the
+            # NIF matmuls from overlapping the bounce VPU work.
+            rnd_all = uniforms(4 + 4 * max_path_length)
+            a1, a2 = draw_aa_jitter(
+                lambda k: rnd_all[:k], aa_noise_type
+            )
+            l1, l2 = rnd_all[2], rnd_all[3]
+        o, d = raygen(
+            cols, rows, a1, a2, l1, l2,
+            width=width, height=height, tanfov_x=tanfov_x, tanfov_y=tanfov_y,
+            aa_scale=aa_scale, aperture=aperture, focal=focal,
+        )
+        st = initial_bounce_state(o, d)
+
+        # Previous sample's env shade, layers interleaved with bounces:
+        u, v = equirect_from_dir(ex, ey, ez, scal_ref[0, 5])
+        feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
+        x = feats
+        li = 0
+        for b in range(max_path_length):
+            if host_samples:
+                rnd = [noise_row(4 + 4 * b + j) for j in range(4)]
+            else:
+                rnd = rnd_all[4 + 4 * b : 8 + 4 * b]
+            st = bounce_once(
+                sph_ref, dsc_ref, num_s, num_d, st, *rnd, b,
+                refr_index, stop_prob, roulette_depth,
+            )
+            # Issue layers evenly across the bounce unroll:
+            while li < num_layers and li * max_path_length < (b + 1) * num_layers:
+                x = nif_layer(x, feats, w_refs[li], b_refs[li],
+                              li == num_layers - 1, upcast_dot)
+                li += 1
+        while li < num_layers:
+            x = nif_layer(x, feats, w_refs[li], b_refs[li],
+                          li == num_layers - 1, upcast_dot)
+            li += 1
+        out = nif_decode(x, scal_ref)
+        # bgr -> rgb flip + escape weights (codelets.cpp:377-378); the
+        # weights are zero for sample -1 (carry init), so iteration 0
+        # contributes nothing for the nonexistent previous sample:
+        return (
+            ar + st.radiance.x + wx * out[2],
+            ag + st.radiance.y + wy * out[1],
+            ab + st.radiance.z + wz * out[0],
+            apl + st.path_len,
+            st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
+            st.esc_w.x, st.esc_w.y, st.esc_w.z,
+        )
+
+    init = (zero, zero, zero, jnp.zeros((n,), jnp.int32),
+            zero, zero, zero, zero, zero, zero)
+    if host_samples:
+        carry = init
+        for s in range(host_samples):
+            carry = one_sample(s, carry)
+    else:
+        n_samples = ipar_ref[0, 3]
+        carry = jax.lax.fori_loop(0, n_samples, one_sample, init)
+
+    ar, ag, ab, apl, ex, ey, ez, wx, wy, wz = carry
+    # Epilogue: the LAST sample's escaped rays still need their env light.
+    cr, cg, cb = _env_contrib(
+        ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
+        upcast_dot,
+    )
+    acc_ref[:] = jnp.stack([ar + cr, ag + cg, ab + cb], axis=0)
+    plen_ref[:] = apl.reshape(1, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_path_length", "aa_noise_type",
+        "block_size", "interpret",
+    ),
+)
+def render_megastep_pallas(
+    scene: Scene,
+    settings,  # RenderSettings
+    params: NifParams,
+    cols: jnp.ndarray,  # (P,) f32 pixel columns
+    rows: jnp.ndarray,
+    seed: jnp.ndarray | None = None,  # (2,) int32 per-step seed words
+    *,
+    noise: jnp.ndarray | None = None,  # (S, 4+4L, P) host-noise parity mode
+    width: int,
+    height: int,
+    max_path_length: int,
+    aa_noise_type: str = "normal",
+    block_size: int = 4096,
+    interpret: bool = False,
+) -> MegaStepOut:
+    """Render settings.samples_per_step samples of every pixel, fused.
+
+    Exactly one of ``seed``/``noise``.  With ``noise`` the kernel runs
+    its python-unrolled host-noise parity mode: noise[s] carries sample
+    s's randomness in the trace kernel's layout ([0:2] AA jitter,
+    [2:4] lens uniforms, [4+4i:8+4i] bounce-i uniforms).  Returns the
+    SUM of radiance (env light applied) and path lengths over samples.
+    """
+    if (seed is None) == (noise is None):
+        raise ValueError("pass exactly one of seed= or noise=")
+    if block_size % 128:
+        raise ValueError(f"block_size must be a multiple of 128, got {block_size}")
+    p = cols.shape[0]
+    host_samples = 0 if noise is None else int(noise.shape[0])
+    if noise is not None and host_samples == 0:
+        # Degenerate host-noise request: zero samples -> zero sums.
+        z = jnp.zeros((p,), jnp.float32)
+        return MegaStepOut(radiance=Vec3(z, z, z),
+                           path_len=jnp.zeros((p,), jnp.int32))
+    pad = (-p) % block_size
+    if pad:
+        cols = jnp.pad(cols, (0, pad))
+        rows = jnp.pad(rows, (0, pad))
+        if noise is not None:
+            noise = jnp.pad(noise, ((0, 0), (0, 0), (0, pad)))
+    n = p + pad
+    grid = (n // block_size,)
+
+    num_s = scene.num_spheres
+    num_d = scene.disc_radius.shape[0]
+    sph, dsc = pack_scene(scene)
+    num_layers = len(params.kernels)
+
+    half_fov = settings.fov * 0.5
+    fpar = jnp.stack(
+        [
+            jnp.tan(half_fov),
+            jnp.tan((float(height) / float(width)) * half_fov),
+            settings.aa_scale,
+            settings.refractive_index,
+            settings.stop_prob,
+            settings.aperture,
+            settings.focal_distance,
+            jnp.zeros((), jnp.float32),
+        ]
+    ).reshape(1, 8)
+    if noise is not None:
+        s0 = s1 = jnp.zeros((), jnp.int32)
+    else:
+        seed = jnp.asarray(seed).astype(jnp.int32).reshape(2)
+        s0, s1 = seed[0], seed[1]
+    ipar = jnp.stack(
+        [
+            settings.roulette_depth.astype(jnp.int32),
+            s0,
+            s1,
+            settings.samples_per_step.astype(jnp.int32),
+        ]
+    ).reshape(1, 4)
+    scal = _pack_scal(params, settings.azimuth)
+
+    # Feature-major weights (transposed once; XLA folds it after call 1):
+    kernels_t = [w.T for w in params.kernels]
+    biases_c = [b.reshape(-1, 1) for b in params.biases]
+
+    smem = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.SMEM
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.VMEM
+    )
+    vec = pl.BlockSpec((block_size,), lambda i: (i,), memory_space=pltpu.VMEM)
+    row_out = lambda rows_: pl.BlockSpec(
+        (rows_, block_size), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        smem(fpar), smem(ipar), smem(scal), smem(sph), smem(dsc), vec, vec,
+        *[full(w) for w in kernels_t],
+        *[full(b) for b in biases_c],
+    ]
+    inputs = [fpar, ipar, scal, sph, dsc, cols, rows, *kernels_t, *biases_c]
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (noise.shape[0], noise.shape[1], block_size),
+                lambda i: (0, 0, i), memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(noise)
+
+    acc, plen = pl.pallas_call(
+        functools.partial(
+            _kernel, num_s, num_d, max_path_length, num_layers,
+            params.embedding_dim, width, height, aa_noise_type, host_samples,
+            interpret,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(row_out(3), row_out(1)),
+        # Grid blocks are independent (the PRNG reseeds per block), so
+        # megacore TPUs may split them across TensorCores:
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(*inputs)
+
+    return MegaStepOut(
+        radiance=Vec3(acc[0, :p], acc[1, :p], acc[2, :p]),
+        path_len=plen[0, :p],
+    )

@@ -61,18 +61,12 @@ def _pack_scal(params: NifParams, azimuth=None) -> jnp.ndarray:
     ).reshape(1, 8)
 
 
-def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
-              w_refs, b_refs):
-    """Encode -> matmul chain -> decode on (B,) uv vectors; returns (3, B).
+def nif_encode(u, v, embedding_dim: int, compute_dtype):
+    """Fourier features (NifModel.cpp:185-218) -> (4E, B).
 
-    Shared by the plain inference kernel and the fused env-shading
-    kernel below.
+    uv' = 2(uv - 1), rows [sin(u 2^j) | sin(v 2^j) | cos(u 2^j) |
+    cos(v 2^j)] built by the double-angle recurrence (module docstring).
     """
-    compute_dtype = w_refs[0].dtype
-
-    # Fourier features (NifModel.cpp:185-218): uv' = 2(uv - 1), rows
-    # [sin(u 2^j) | sin(v 2^j) | cos(u 2^j) | cos(v 2^j)] built by the
-    # double-angle recurrence (see module docstring).
     uu = 2.0 * (u - 1.0)  # (B,)
     vv = 2.0 * (v - 1.0)
     su, cu = jnp.sin(uu), jnp.cos(uu)
@@ -85,24 +79,69 @@ def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
         s, c = svs[-1], cvs[-1]
         svs.append(2.0 * s * c)
         cvs.append(1.0 - 2.0 * s * s)
-    feats = jnp.stack(sus + svs + cus + cvs, axis=0).astype(compute_dtype)
+    return jnp.stack(sus + svs + cus + cvs, axis=0).astype(compute_dtype)
 
-    x = feats  # (feat_dim, B)
-    for i in range(num_layers):
-        w = w_refs[i][:]
-        if x.shape[0] != w.shape[1]:  # skip-concat (NifModel.cpp:303-309)
-            x = jnp.concatenate([x, feats], axis=0)
+
+def nif_layer(x, feats, w_ref, b_ref, is_last: bool, upcast_dot: bool = False):
+    """One Dense stage of the chain (skip-concat when widths mismatch).
+
+    ``upcast_dot`` casts bf16 operands to f32 before the dot - needed in
+    interpret mode, where XLA CPU's thunk runtime cannot execute
+    BF16 x BF16 = F32 dots in some kernel contexts.  Numerically
+    equivalent: bf16 products are exact in f32 and the MXU accumulates
+    at f32 either way; the TPU path never sets it (bf16 matmuls are 2x).
+    """
+    w = w_ref[:]
+    if x.shape[0] != w.shape[1]:  # skip-concat (NifModel.cpp:303-309)
+        x = jnp.concatenate([x, feats], axis=0)
+    if upcast_dot:
+        x = jnp.dot(w.astype(jnp.float32), x.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    else:
         x = jnp.dot(w, x, preferred_element_type=jnp.float32)
-        x = x + b_refs[i][:].astype(jnp.float32)
-        if i != num_layers - 1:
-            x = jnp.maximum(x, 0.0).astype(compute_dtype)
+    x = x + b_ref[:].astype(jnp.float32)
+    if not is_last:
+        x = jnp.maximum(x, 0.0).astype(w.dtype)
+    return x
 
-    # Decode at f32 (NifModel.cpp:221-245): y = x*max + mean; exp if log.
+
+def nif_decode(x, scal_ref):
+    """Decode at f32 (NifModel.cpp:221-245): y = x*max + mean; exp if log."""
     max_v = scal_ref[0, 0]
     mean = jnp.stack([scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3]])
     log_flag = scal_ref[0, 4]
     y = x.astype(jnp.float32) * max_v + mean[:, None]
     return jnp.where(log_flag > 0.5, jnp.exp(y), y)
+
+
+def equirect_from_dir(dx, dy, dz, azimuth):
+    """Equirect (u, v) from escaped-ray directions; non-escaped lanes
+    (zero dirs) produce (0, 0) exactly like PreProcessEscapedRays
+    (codelets.cpp:333-352).  Returns (u, v)."""
+    from .mathx import acos as _acos, atan2 as _atan2
+
+    escaped = (dx * dx + dy * dy + dz * dz) > 0.5  # unit dirs; 0 = not escaped
+    theta = _acos(jnp.clip(dy, -1.0, 1.0))
+    phi = _atan2(dz, dx) + azimuth
+    two_pi = jnp.float32(2.0 * np.pi)
+    phi = jnp.where(phi < 0.0, phi + two_pi, jnp.where(phi > two_pi, phi - two_pi, phi))
+    u = jnp.where(escaped, theta * jnp.float32(1.0 / np.pi), 0.0)
+    v = jnp.where(escaped, phi * (1.0 / two_pi), 0.0)
+    return u, v
+
+
+def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
+              w_refs, b_refs):
+    """Encode -> matmul chain -> decode on (B,) uv vectors; returns (3, B).
+
+    Shared by the plain inference kernel and the fused env-shading
+    kernel below.
+    """
+    feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
+    x = feats  # (feat_dim, B)
+    for i in range(num_layers):
+        x = nif_layer(x, feats, w_refs[i], b_refs[i], i == num_layers - 1)
+    return nif_decode(x, scal_ref)
 
 
 def _kernel(num_layers: int, embedding_dim: int,
@@ -128,25 +167,13 @@ def _env_shade_kernel(num_layers: int, embedding_dim: int,
     contribution esc_w * env_rgb with the bgr->rgb flip applied
     (codelets.cpp:377-378), so row 0 is already R.
     """
-    from .mathx import acos as _acos, atan2 as _atan2
-
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
     out_ref = refs[2 * num_layers]  # (3, B) radiance contribution, RGB
 
-    dx = escd_ref[0, :]
-    dy = escd_ref[1, :]
-    dz = escd_ref[2, :]
-    azimuth = scal_ref[0, 5]
-    escaped = (dx * dx + dy * dy + dz * dz) > 0.5  # unit dirs; 0 = not escaped
-
-    theta = _acos(jnp.clip(dy, -1.0, 1.0))
-    phi = _atan2(dz, dx) + azimuth
-    two_pi = jnp.float32(2.0 * np.pi)
-    phi = jnp.where(phi < 0.0, phi + two_pi, jnp.where(phi > two_pi, phi - two_pi, phi))
-    u = jnp.where(escaped, theta * jnp.float32(1.0 / np.pi), 0.0)
-    v = jnp.where(escaped, phi * (1.0 / two_pi), 0.0)
-
+    u, v = equirect_from_dir(
+        escd_ref[0, :], escd_ref[1, :], escd_ref[2, :], scal_ref[0, 5]
+    )
     out = _mlp_core(num_layers, embedding_dim, u, v, scal_ref, w_refs, b_refs)
     # bgr -> rgb + throughput weights (esc_w rows are zero unless escaped):
     out_ref[:] = jnp.stack(

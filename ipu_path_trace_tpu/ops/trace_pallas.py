@@ -193,6 +193,154 @@ def _intersect(sph_ref, dsc_ref, num_s: int, num_d: int, o: Vec3, d: Vec3):
     return valid, point, nrm, colour, emission, emissive > 0.5, material
 
 
+class BounceState(NamedTuple):
+    """Per-lane trace state threaded through bounce_once (all (B,) vecs)."""
+
+    o: Vec3
+    d: Vec3
+    throughput: Vec3
+    radiance: Vec3
+    alive: jnp.ndarray  # bool
+    esc_dir: Vec3
+    esc_w: Vec3
+    escaped: jnp.ndarray  # bool
+    path_len: jnp.ndarray  # int32
+
+
+def make_uniform_fn(n: int):
+    """Hardware-PRNG uniform draw helper for a (n,)-lane kernel block.
+
+    Returns uniforms(k) -> k vectors of (n,) uniforms in (0, 1] (24-bit
+    mantissa) drawn in ONE prng call (per-invocation overhead amortised;
+    42 separate draws/sample measured slower).
+    """
+
+    def uniforms(k: int):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((8 * k, n // 8)), jnp.uint32)
+        # Logical shift as uint32 clears the sign bit, so the bitcast back
+        # to int32 is value-preserving (Mosaic cannot cast uint32 -> f32):
+        top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        u = (top24.astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))
+        u = u.reshape(k, n)
+        return [u[i] for i in range(k)]
+
+    return uniforms
+
+
+def draw_aa_jitter(uniforms, aa_noise_type: str):
+    """AA jitter pair from the HW PRNG: uniform, normal (Box-Muller) or
+    truncated-normal clipped at +/-3 sigma."""
+    if aa_noise_type == "uniform":
+        a, b = uniforms(2)
+        return 2.0 * a - 1.0, 2.0 * b - 1.0
+    u1, u2 = uniforms(2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    z1 = r * jnp.cos(_TWO_PI * u2)
+    z2 = r * jnp.sin(_TWO_PI * u2)
+    if aa_noise_type == "truncated-normal":
+        z1 = jnp.clip(z1, -3.0, 3.0)
+        z2 = jnp.clip(z2, -3.0, 3.0)
+    return z1, z2
+
+
+def raygen(cols, rows, a1, a2, l1, l2, *, width, height,
+           tanfov_x, tanfov_y, aa_scale, aperture, focal) -> tuple[Vec3, Vec3]:
+    """Camera ray generation (GenerateCameraRays, codelets.cpp:47-79)
+    plus the thin-lens DoF extension (wavefront.apply_thin_lens).
+
+    (a1, a2) is the AA jitter pair, (l1, l2) the lens-disk uniforms.
+    Returns (origin, direction); pinhole (aperture 0) stays bit-exact.
+    """
+    shape = cols.shape
+    c = cols + aa_scale * a1
+    r = rows + aa_scale * a2
+    w = jnp.float32(width)
+    h = jnp.float32(height)
+    dx = ((2.0 * c - w) / w) * tanfov_x
+    dy = -((2.0 * r - h) / h) * tanfov_y
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + 1.0)
+    d = Vec3(dx * inv, dy * inv, -inv)
+
+    lr = aperture * jnp.sqrt(l1)
+    lphi = _TWO_PI * l2
+    lx = lr * jnp.cos(lphi)
+    ly = lr * jnp.sin(lphi)
+    t_f = focal / jnp.maximum(-d.z, 1e-8)
+    fd = Vec3(d.x * t_f - lx, d.y * t_f - ly, d.z * t_f)
+    finv = 1.0 / jnp.sqrt(jnp.maximum(fd.norm2(), 1e-20))
+    dof = aperture > 0.0
+    o = Vec3(lx, ly, jnp.zeros(shape)).where(dof, Vec3.zeros(shape))
+    d = (fd * finv).where(dof, d)
+    return o, d
+
+
+def initial_bounce_state(o: Vec3, d: Vec3) -> BounceState:
+    shape = o.x.shape
+    return BounceState(
+        o=o,
+        d=d,
+        throughput=Vec3.full(shape, 1.0, 1.0, 1.0),
+        radiance=Vec3.zeros(shape),
+        alive=jnp.ones(shape, bool),
+        esc_dir=Vec3.zeros(shape),
+        esc_w=Vec3.zeros(shape),
+        escaped=jnp.zeros(shape, bool),
+        path_len=jnp.zeros(shape, jnp.int32),
+    )
+
+
+def bounce_once(sph_ref, dsc_ref, num_s: int, num_d: int, st: BounceState,
+                rr_rand, u1, u2, fresnel_rand, bounce_idx: int,
+                refr_index, stop_prob, roulette_depth) -> BounceState:
+    """One wavefront bounce; semantics = render/wavefront.bounce_body."""
+    shape = st.o.x.shape
+    one = Vec3.full(shape, 1.0, 1.0, 1.0)
+
+    rr_on = jnp.int32(bounce_idx) >= roulette_depth
+    rr_stop = rr_on & (rr_rand <= stop_prob)
+    rr_factor = jnp.where(rr_on, 1.0 / (1.0 - stop_prob), 1.0)
+    alive = st.alive & ~rr_stop
+
+    valid, point, normal, colr, emis, emissive, material = _intersect(
+        sph_ref, dsc_ref, num_s, num_d, st.o, st.d
+    )
+
+    escaped_now = alive & ~valid
+    esc_dir = st.d.where(escaped_now, st.esc_dir)
+    esc_w = (st.throughput * rr_factor).where(escaped_now, st.esc_w)
+    escaped = st.escaped | escaped_now
+
+    emit_now = alive & valid & emissive
+    emit_add = st.throughput.cwise(emis) * rr_factor
+    radiance = st.radiance + emit_add.where(emit_now, Vec3.zeros(shape))
+
+    alive = alive & valid & ~emissive
+
+    d_diff, cos_theta = sample_diffuse(normal, u1, u2)
+    d_spec = reflect(st.d, normal)
+    d_refr, refracted = refract(st.d, normal, refr_index, fresnel_rand)
+
+    is_diff = material < 0.5
+    is_spec = (material >= 0.5) & (material < 1.5)
+    new_d = d_diff.where(is_diff, d_spec.where(is_spec, d_refr))
+
+    w_diff = colr * (cos_theta * DIFFUSE_SCALE * rr_factor)
+    w_spec = one * rr_factor
+    tint = colr.where(refracted, one)
+    w_refr = tint * (REFRACT_WEIGHT * rr_factor)
+    scale = w_diff.where(is_diff, w_spec.where(is_spec, w_refr))
+
+    throughput = st.throughput.cwise(scale).where(alive, st.throughput)
+    o = point.where(alive, st.o)
+    d = new_d.where(alive, st.d)
+
+    pushed = escaped_now | emit_now | alive
+    path_len = st.path_len + pushed.astype(jnp.int32)
+
+    return BounceState(o, d, throughput, radiance, alive, esc_dir, esc_w,
+                       escaped, path_len)
+
+
 def _kernel(
     num_s: int,
     num_d: int,
@@ -235,133 +383,43 @@ def _kernel(
         # the second word (Mosaic caps prng_seed at 2 values).
         pltpu.prng_seed(ipar_ref[0, 1], ipar_ref[0, 2] + pl.program_id(0))
 
-    def uniforms(k: int):
-        """k (n,) uniform draws in (0, 1] (24-bit mantissa) in ONE call.
-
-        One big rank-2 draw per consumer amortises per-invocation PRNG
-        overhead (42 separate draws/sample measurably slower)."""
-        bits = pltpu.bitcast(pltpu.prng_random_bits((8 * k, n // 8)), jnp.uint32)
-        # Logical shift as uint32 clears the sign bit, so the bitcast back
-        # to int32 is value-preserving (Mosaic cannot cast uint32 -> f32):
-        top24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        u = (top24.astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))
-        u = u.reshape(k, n)
-        return [u[i] for i in range(k)]
-
-    def uniform():
-        return uniforms(1)[0]
+    uniforms = make_uniform_fn(n)
 
     def aa_jitter():
         if host_noise:
             return noise_ref[0, :], noise_ref[1, :]
-        if aa_noise_type == "uniform":
-            a, b = uniforms(2)
-            return 2.0 * a - 1.0, 2.0 * b - 1.0
-        # Box-Muller pair:
-        u1, u2 = uniforms(2)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        z1 = r * jnp.cos(_TWO_PI * u2)
-        z2 = r * jnp.sin(_TWO_PI * u2)
-        if aa_noise_type == "truncated-normal":
-            z1 = jnp.clip(z1, -3.0, 3.0)
-            z2 = jnp.clip(z2, -3.0, 3.0)
-        return z1, z2
+        return draw_aa_jitter(uniforms, aa_noise_type)
 
     # --- camera ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
     a1, a2 = aa_jitter()
-    c = cols_ref[:] + aa_scale * a1
-    r = rows_ref[:] + aa_scale * a2
-    w = jnp.float32(width)
-    h = jnp.float32(height)
-    dx = ((2.0 * c - w) / w) * tanfov_x
-    dy = -((2.0 * r - h) / h) * tanfov_y
-    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + 1.0)
-    d = Vec3(dx * inv, dy * inv, -inv)
-
-    # Thin-lens DoF (wavefront.apply_thin_lens; pinhole when aperture=0):
     if host_noise:
         l1, l2 = noise_ref[2, :], noise_ref[3, :]
     else:
         l1, l2 = uniforms(2)
-    lr = aperture * jnp.sqrt(l1)
-    lphi = _TWO_PI * l2
-    lx = lr * jnp.cos(lphi)
-    ly = lr * jnp.sin(lphi)
-    t_f = focal / jnp.maximum(-d.z, 1e-8)
-    fd = Vec3(d.x * t_f - lx, d.y * t_f - ly, d.z * t_f)
-    finv = 1.0 / jnp.sqrt(jnp.maximum(fd.norm2(), 1e-20))
-    # Pinhole stays bit-exact when aperture == 0 (scalar select):
-    dof = aperture > 0.0
-    o = Vec3(lx, ly, jnp.zeros(shape)).where(dof, Vec3.zeros(shape))
-    d = (fd * finv).where(dof, d)
-
-    throughput = Vec3.full(shape, 1.0, 1.0, 1.0)
-    radiance = Vec3.zeros(shape)
-    alive = jnp.ones(shape, bool)
-    esc_dir = Vec3.zeros(shape)
-    esc_w = Vec3.zeros(shape)
-    escaped = jnp.zeros(shape, bool)
-    path_len = jnp.zeros(shape, jnp.int32)
-
-    one = Vec3.full(shape, 1.0, 1.0, 1.0)
+    o, d = raygen(
+        cols_ref[:], rows_ref[:], a1, a2, l1, l2,
+        width=width, height=height, tanfov_x=tanfov_x, tanfov_y=tanfov_y,
+        aa_scale=aa_scale, aperture=aperture, focal=focal,
+    )
+    st = initial_bounce_state(o, d)
 
     # --- bounce loop, fully unrolled; semantics = wavefront.bounce_body ---
     for bounce_idx in range(max_path_length):
         if host_noise:
             base = 4 + 4 * bounce_idx
-            rr_rand = noise_ref[base + 0, :]
-            u1 = noise_ref[base + 1, :]
-            u2 = noise_ref[base + 2, :]
-            fresnel_rand = noise_ref[base + 3, :]
+            rnd = [noise_ref[base + j, :] for j in range(4)]
         else:
-            rr_rand, u1, u2, fresnel_rand = uniforms(4)
-
-        rr_on = jnp.int32(bounce_idx) >= roulette_depth
-        rr_stop = rr_on & (rr_rand <= stop_prob)
-        rr_factor = jnp.where(rr_on, 1.0 / (1.0 - stop_prob), 1.0)
-        alive = alive & ~rr_stop
-
-        valid, point, normal, colr, emis, emissive, material = _intersect(
-            sph_ref, dsc_ref, num_s, num_d, o, d
+            rnd = uniforms(4)
+        st = bounce_once(
+            sph_ref, dsc_ref, num_s, num_d, st, *rnd, bounce_idx,
+            refr_index, stop_prob, roulette_depth,
         )
 
-        escaped_now = alive & ~valid
-        esc_dir = d.where(escaped_now, esc_dir)
-        esc_w = (throughput * rr_factor).where(escaped_now, esc_w)
-        escaped = escaped | escaped_now
-
-        emit_now = alive & valid & emissive
-        emit_add = throughput.cwise(emis) * rr_factor
-        radiance = radiance + emit_add.where(emit_now, Vec3.zeros(shape))
-
-        alive = alive & valid & ~emissive
-
-        d_diff, cos_theta = sample_diffuse(normal, u1, u2)
-        d_spec = reflect(d, normal)
-        d_refr, refracted = refract(d, normal, refr_index, fresnel_rand)
-
-        is_diff = material < 0.5
-        is_spec = (material >= 0.5) & (material < 1.5)
-        new_d = d_diff.where(is_diff, d_spec.where(is_spec, d_refr))
-
-        w_diff = colr * (cos_theta * DIFFUSE_SCALE * rr_factor)
-        w_spec = one * rr_factor
-        tint = colr.where(refracted, one)
-        w_refr = tint * (REFRACT_WEIGHT * rr_factor)
-        scale = w_diff.where(is_diff, w_spec.where(is_spec, w_refr))
-
-        throughput = throughput.cwise(scale).where(alive, throughput)
-        o = point.where(alive, o)
-        d = new_d.where(alive, d)
-
-        pushed = escaped_now | emit_now | alive
-        path_len = path_len + pushed.astype(jnp.int32)
-
-    rad_ref[:] = jnp.stack([radiance.x, radiance.y, radiance.z], axis=0)
-    escd_ref[:] = jnp.stack([esc_dir.x, esc_dir.y, esc_dir.z], axis=0)
-    escw_ref[:] = jnp.stack([esc_w.x, esc_w.y, esc_w.z], axis=0)
-    escm_ref[:] = escaped.astype(jnp.int32).reshape(1, n)
-    plen_ref[:] = path_len.reshape(1, n)
+    rad_ref[:] = jnp.stack([st.radiance.x, st.radiance.y, st.radiance.z], axis=0)
+    escd_ref[:] = jnp.stack([st.esc_dir.x, st.esc_dir.y, st.esc_dir.z], axis=0)
+    escw_ref[:] = jnp.stack([st.esc_w.x, st.esc_w.y, st.esc_w.z], axis=0)
+    escm_ref[:] = st.escaped.astype(jnp.int32).reshape(1, n)
+    plen_ref[:] = st.path_len.reshape(1, n)
 
 
 @functools.partial(

@@ -22,6 +22,9 @@ class StaticConfig(NamedTuple):
     max_path_length: int = 10  # --max-path-length
     aa_noise_type: str = "normal"  # --aa-noise-type
     use_pallas: bool = True  # fused Pallas kernels (NIF env light; TPU only)
+    # One-kernel-per-step fusion (sample loop + trace + NIF with VPU/MXU
+    # overlap, ops/megastep_pallas.py); off = per-sample kernel pair:
+    use_fused_step: bool = True
 
 
 class RenderSettings(NamedTuple):

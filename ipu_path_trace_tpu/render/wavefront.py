@@ -328,6 +328,32 @@ def render_step_impl(
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
 
+    from ..models.envlight import NifEnv
+
+    pallas_on = cfg.use_pallas and jax.default_backend() == "tpu"
+    if pallas_on and cfg.use_fused_step and isinstance(env, NifEnv):
+        # Fully fused step: the sample loop, the trace, and the NIF run
+        # in ONE kernel, software-pipelined so the trace's VPU work hides
+        # behind the NIF matmuls (ops/megastep_pallas.py docstring).
+        from ..ops.megastep_pallas import render_megastep_pallas
+
+        seed = jax.random.bits(step_key, (2,), jnp.uint32).astype(jnp.int32)
+        out = render_megastep_pallas(
+            scene, settings, env.params, cols, rows, seed,
+            width=cfg.width, height=cfg.height,
+            max_path_length=cfg.max_path_length,
+            aa_noise_type=cfg.aa_noise_type,
+        )
+        return WorkBatch(
+            u=work.u,
+            v=work.v,
+            r=work.r + out.radiance.x,
+            g=work.g + out.radiance.y,
+            b=work.b + out.radiance.z,
+            sample_count=work.sample_count + settings.samples_per_step,
+            path_length=work.path_length + out.path_len,
+        )
+
     def body(sample_idx, carry):
         rad, plen = carry
         skey = sample_key(step_key, sample_idx)

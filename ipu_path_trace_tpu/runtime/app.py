@@ -261,6 +261,19 @@ class PathTracerApp:
             # view with tensorboard / xprof.
             jax.profiler.start_trace(cfg.profile_dir)
             logger().info("Profiler trace -> '%s'", cfg.profile_dir)
+        if cfg.device_timing and self.mesh is None:
+            # Per-phase device-time split at the real render shape - the
+            # analog of the reference's per-step cycle counters
+            # (PathTracerApp.cpp:438-462); see utils/devtime.py.
+            from ..utils.devtime import log_phase_split, measure_phases
+
+            with self.trace.span("device_timing"):
+                split = measure_phases(
+                    self.scene, self.settings(self.samples_per_step),
+                    self.static_config(), to_device_batch(balancer.work.active),
+                    key, self.env,
+                )
+            log_phase_split(split)
         start_time = time.monotonic()
         logger().info("Render started")
 

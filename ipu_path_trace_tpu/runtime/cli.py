@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--profile-dir", default="",
                      help="Write an XLA profiler trace of the render loop here "
                           "(the PVTI-instrumentation analog; view with xprof).")
+    tpu.add_argument("--device-timing", action="store_true", default=False,
+                     help="Measure and log the per-sample device-time split "
+                          "(trace kernel vs NIF env kernel vs fused step) at "
+                          "the render shape before the loop starts - the "
+                          "cycle-counter analog of the reference.")
     tpu.add_argument("--aperture", type=float, default=0.0,
                      help="Thin-lens aperture radius (scene units); 0 = pinhole.")
     tpu.add_argument("--focal-distance", type=float, default=1.0,
@@ -148,6 +153,7 @@ def parse_config(argv=None) -> Config:
         rng_impl=args.rng_impl,
         nif_mode=args.nif_mode,
         profile_dir=args.profile_dir,
+        device_timing=args.device_timing,
         aperture=args.aperture,
         focal_distance=args.focal_distance,
     )

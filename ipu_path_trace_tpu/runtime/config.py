@@ -59,6 +59,7 @@ class Config:
     # plentiful, unlike IPU SRAM where compressing the HDRI was the point).
     nif_mode: str = "fused"  # fused | baked
     profile_dir: str = ""  # XLA profiler trace dir (PVTI analog); "" = off
+    device_timing: bool = False  # log the trace/NIF device-time split
     # Thin-lens depth of field; aperture 0 = the reference's pinhole:
     aperture: float = 0.0
     focal_distance: float = 1.0

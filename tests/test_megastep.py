@@ -1,0 +1,101 @@
+"""Parity of the fully fused render-step megakernel (trace + NIF + sample
+loop in one Pallas kernel) against the XLA twin.
+
+Host-noise mode + interpret mode: both sides consume identical noise, so
+the trace part matches to float associativity and the NIF part to the
+kernel's documented feature-encode budget (see test_nif_pallas).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipu_path_trace_tpu.core.envmap import equirect_uv
+from ipu_path_trace_tpu.core.records import make_worklist
+from ipu_path_trace_tpu.core.scene import default_scene
+from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif, nif_apply
+from ipu_path_trace_tpu.ops.megastep_pallas import render_megastep_pallas
+from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+from ipu_path_trace_tpu.render.wavefront import trace_sample_with_uniforms
+
+W = H = 24  # 576 rays; not a multiple of the block size (padding path)
+BLOCK = 256
+SAMPLES = 3
+MAXLEN = 5
+
+
+def _setup():
+    scene = default_scene()
+    cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN)
+    settings = RenderSettings.make(samples_per_step=SAMPLES)
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3, skip_layer=1)
+    params = make_params(weights, meta, jnp.bfloat16)
+    work = make_worklist(W, H)
+    cols = jnp.asarray(work["u"], jnp.float32)
+    rows = jnp.asarray(work["v"], jnp.float32)
+    rng = np.random.default_rng(21)
+    p = cols.shape[0]
+    noise = rng.uniform(0.0, 1.0, size=(SAMPLES, 4 + 4 * MAXLEN, p)).astype(np.float32)
+    noise[:, 0:2] = rng.normal(size=(SAMPLES, 2, p))  # AA jitter is normal
+    return scene, cfg, settings, params, cols, rows, noise
+
+
+def _xla_twin(scene, cfg, settings, params, cols, rows, noise):
+    """Sum of per-sample radiance (env applied) + path lengths."""
+    p = cols.shape[0]
+    rad = np.zeros((3, p), np.float32)
+    plen = np.zeros(p, np.int64)
+    for s in range(noise.shape[0]):
+        st = trace_sample_with_uniforms(
+            scene, settings, cfg, cols, rows,
+            jnp.asarray(noise[s, 0:2]), jnp.asarray(noise[s, 2:4]),
+            jnp.asarray(noise[s, 4:].reshape(MAXLEN, 4, p)),
+        )
+        u, v = equirect_uv(st.esc_dir, settings.azimuth)
+        u = jnp.where(st.escaped, u, 0.0)
+        v = jnp.where(st.escaped, v, 0.0)
+        out = nif_apply(params, u, v)  # (P, 3) network (bgr) order
+        rad[0] += np.asarray(st.radiance.x + st.esc_w.x * out[:, 2])
+        rad[1] += np.asarray(st.radiance.y + st.esc_w.y * out[:, 1])
+        rad[2] += np.asarray(st.radiance.z + st.esc_w.z * out[:, 0])
+        plen += np.asarray(st.path_len, np.int64)
+    return rad, plen
+
+
+def test_megastep_matches_xla_chain():
+    scene, cfg, settings, params, cols, rows, noise = _setup()
+    ref_rad, ref_plen = _xla_twin(scene, cfg, settings, params, cols, rows, noise)
+
+    out = render_megastep_pallas(
+        scene, settings, params, cols, rows, noise=jnp.asarray(noise),
+        width=W, height=H, max_path_length=MAXLEN,
+        aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
+    )
+    got = np.stack(
+        [np.asarray(out.radiance.x), np.asarray(out.radiance.y), np.asarray(out.radiance.z)]
+    )
+    # Borderline intersections (tangent rays) may flip between two
+    # independently compiled implementations: fp contraction differs, a
+    # hit becomes a miss, and that lane's whole path diverges.  Measured
+    # rate: ~1 lane in 1728.  Bound the flips, then require the NIF
+    # budget (test_nif_pallas) on the non-flipped lanes.
+    flipped = np.asarray(out.path_len) != ref_plen
+    assert flipped.mean() < 5e-3, f"{flipped.sum()} flipped lanes"
+    ok = ~flipped
+    scale = np.abs(ref_rad).max()
+    rel = (np.abs(got - ref_rad) / (np.abs(ref_rad) + 1e-2 * scale))[:, ok]
+    assert np.median(rel) < 5e-3
+    assert rel.max() < 8e-2
+
+
+def test_megastep_zero_samples():
+    """samples_per_step staying dynamic means 0 must work (and yield 0)."""
+    scene, cfg, settings, params, cols, rows, noise = _setup()
+    out = render_megastep_pallas(
+        scene, settings, params, cols, rows,
+        noise=jnp.asarray(noise[:0]),
+        width=W, height=H, max_path_length=MAXLEN,
+        aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
+    )
+    assert float(jnp.abs(out.radiance.x).max()) == 0.0
+    assert int(jnp.abs(out.path_len).max()) == 0
