@@ -1,0 +1,72 @@
+"""Measure the per-step host<->device worklist round-trip (VERDICT #9).
+
+Every render step uploads the whole worklist and blocks on downloading
+it back (runtime/app.py ipu_render span) - reference parity (20B/pixel
+both ways, src/PathTracerApp.cpp:425-475).  This quantifies that cost
+vs pure device time at interactive (8 spp) and full (300 spp) step
+sizes to decide whether a device-resident film mode is worth having.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+WIDTH, HEIGHT = 1104, 1000
+
+
+def main():
+    from ipu_path_trace_tpu.core.records import (
+        from_device_batch, make_worklist, to_device_batch,
+    )
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
+
+    print(f"device: {jax.devices()[0]}")
+    scene = default_scene()
+    weights, meta = make_synthetic_nif(key=0)
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    cfg = StaticConfig(width=WIDTH, height=HEIGHT)
+    records = make_worklist(WIDTH, HEIGHT)
+    key = make_base_key(0)
+    sync = jax.jit(lambda w: w.r[0] + w.b[-1])
+
+    for spp in (8, 300):
+        settings = RenderSettings.make(samples_per_step=spp)
+        # warmup/compile
+        wd = to_device_batch(records)
+        out = render_step(scene, settings, cfg, wd, key, env)
+        float(sync(out))
+
+        reps = 10 if spp == 8 else 3
+        # (a) full loop body: upload + render + download (app.py behaviour)
+        t0 = time.monotonic()
+        for i in range(reps):
+            wd = to_device_batch(records)
+            out = render_step(scene, settings, cfg, wd, key, env)
+            _ = from_device_batch(out)
+        full_s = (time.monotonic() - t0) / reps
+
+        # (b) device-resident: render chained on device, fetch only a scalar
+        t0 = time.monotonic()
+        out = wd
+        for i in range(reps):
+            out = render_step(scene, settings, cfg, out, key, env)
+        float(sync(out))
+        dev_s = (time.monotonic() - t0) / reps
+
+        print(f"spp={spp:4d}: loop-body {full_s*1e3:8.1f} ms | device-only "
+              f"{dev_s*1e3:8.1f} ms | host round-trip {100*(full_s-dev_s)/full_s:5.1f}% of step")
+
+
+if __name__ == "__main__":
+    main()
