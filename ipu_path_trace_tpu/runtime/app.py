@@ -197,6 +197,13 @@ class PathTracerApp:
             self.balancer.work.active = self.balancer.work.inactive.copy()
         self.film = Film(cfg.width, cfg.height)
 
+        # Debug-level tensor/sharding dump (logTensorInfo analog,
+        # reference: src/io_utils.hpp:50-63):
+        from ..utils.introspect import log_tensor_info
+
+        log_tensor_info("scene", self.scene)
+        log_tensor_info("env", self.env)
+
         step_fn = make_step_fn(self.static_config(), self.mesh, rng_impl=self.cfg.rng_impl)
         self.programs.add("path_trace", step_fn)
 
