@@ -51,6 +51,7 @@ from ..core.vecmath import Vec3
 from ..models.nif import NifParams
 from .nif_pallas import _pack_scal, equirect_from_dir, nif_decode, nif_encode, nif_layer
 from .trace_pallas import (
+    bounce_cond,
     bounce_once,
     draw_aa_jitter,
     initial_bounce_state,
@@ -156,37 +157,65 @@ def _kernel(
         )
         st = initial_bounce_state(o, d)
 
-        # Previous sample's env shade, layers interleaved with bounces:
-        u, v = equirect_from_dir(ex, ey, ez, scal_ref[0, 5])
-        feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
-        x = feats
-        li = 0
-        for b in range(max_path_length):
+        # Previous sample's env shade (the full chain; the epilogue
+        # handles the last sample).  MXU work sits adjacent to the
+        # trace's VPU work so the units may still overlap, but it is no
+        # longer hand-interleaved: measurement showed zero overlap from
+        # interleaving (scripts/megastep_split.py), and the interleave
+        # blocked the dead-block early-out below.
+        cr, cg, cb = _env_contrib(
+            ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
+            upcast_dot,
+        )
+
+        def bounce_rnd(b):
             if host_samples:
-                rnd = [noise_row(4 + 4 * b + j) for j in range(4)]
-            else:
-                rnd = rnd_all[4 + 4 * b : 8 + 4 * b]
-            st = bounce_once(
-                sph_ref, dsc_ref, num_s, num_d, st, *rnd, b,
-                refr_index, stop_prob, roulette_depth,
-            )
-            # Issue layers evenly across the bounce unroll:
-            while li < num_layers and li * max_path_length < (b + 1) * num_layers:
-                x = nif_layer(x, feats, w_refs[li], b_refs[li],
-                              li == num_layers - 1, upcast_dot)
-                li += 1
-        while li < num_layers:
-            x = nif_layer(x, feats, w_refs[li], b_refs[li],
-                          li == num_layers - 1, upcast_dot)
-            li += 1
-        out = nif_decode(x, scal_ref)
+                return [noise_row(4 + 4 * b + j) for j in range(4)]
+            return rnd_all[4 + 4 * b : 8 + 4 * b]
+
+        def run_bounces(s, lo, hi):
+            for b in range(lo, hi):
+                s = bounce_once(
+                    sph_ref, dsc_ref, num_s, num_d, s, *bounce_rnd(b), b,
+                    refr_index, stop_prob, roulette_depth,
+                )
+            return s
+
+        def any_alive(s):
+            return jnp.sum(s.alive.astype(jnp.float32)) > 0.0
+
+        # Dead-block early-out: bounce_once is exactly the identity when
+        # no lane is alive (every update is where(alive, ...)), and all
+        # randomness is drawn up front, so skipping preserves replay
+        # semantics.  With a raster-ordered worklist a block is a
+        # contiguous image strip; sky strips lose every lane on bounce 0
+        # (94% of paths escape, mean path length 1.6 at the default
+        # scene).  Two nested conditionals (not one per bounce - that
+        # explodes Mosaic compile time): skip after the primary bounce,
+        # and again partway through the unroll.
+        split = min(1 + (max_path_length - 1) // 3, max_path_length)
+
+        def tail_bounces(s):
+            s = run_bounces(s, 1, split)
+            if split < max_path_length:
+                s = bounce_cond(
+                    any_alive(s),
+                    lambda t: run_bounces(t, split, max_path_length),
+                    s,
+                )
+            return s
+
+        st = run_bounces(st, 0, 1)
+        if max_path_length > 1:
+            st = bounce_cond(any_alive(st), tail_bounces, st)
+
         # bgr -> rgb flip + escape weights (codelets.cpp:377-378); the
         # weights are zero for sample -1 (carry init), so iteration 0
         # contributes nothing for the nonexistent previous sample:
         return (
-            ar + st.radiance.x + wx * out[2],
-            ag + st.radiance.y + wy * out[1],
-            ab + st.radiance.z + wz * out[0],
+            ar + st.radiance.x + cr,
+            ag + st.radiance.y + cg,
+            ab + st.radiance.z + cb,
             apl + st.path_len,
             st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
             st.esc_w.x, st.esc_w.y, st.esc_w.z,

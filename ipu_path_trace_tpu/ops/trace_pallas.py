@@ -341,6 +341,29 @@ def bounce_once(sph_ref, dsc_ref, num_s: int, num_d: int, st: BounceState,
                        escaped, path_len)
 
 
+def bounce_cond(pred, bounce_fn, st: BounceState) -> BounceState:
+    """``lax.cond(pred, bounce_fn, identity, st)`` for kernel use.
+
+    Mosaic crashes lowering scf.if results of i1 vector type (an
+    internal layout bug, hit on v5e), so the bool mask fields ride the
+    conditional as f32 0/1 and are re-thresholded on both sides.
+    """
+    packed = st._replace(
+        alive=st.alive.astype(jnp.float32),
+        escaped=st.escaped.astype(jnp.float32),
+    )
+
+    def then_fn(p):
+        s = bounce_fn(p._replace(alive=p.alive > 0.5, escaped=p.escaped > 0.5))
+        return s._replace(
+            alive=s.alive.astype(jnp.float32),
+            escaped=s.escaped.astype(jnp.float32),
+        )
+
+    out = jax.lax.cond(pred, then_fn, lambda p: p, packed)
+    return out._replace(alive=out.alive > 0.5, escaped=out.escaped > 0.5)
+
+
 def _kernel(
     num_s: int,
     num_d: int,
@@ -385,17 +408,17 @@ def _kernel(
 
     uniforms = make_uniform_fn(n)
 
-    def aa_jitter():
-        if host_noise:
-            return noise_ref[0, :], noise_ref[1, :]
-        return draw_aa_jitter(uniforms, aa_noise_type)
-
     # --- camera ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
-    a1, a2 = aa_jitter()
+    # All of the sample's randomness is drawn in ONE prng call up front
+    # (per-invocation overhead amortised, and the dead-block early-out
+    # below must not move the stream position when it skips a bounce).
     if host_noise:
+        a1, a2 = noise_ref[0, :], noise_ref[1, :]
         l1, l2 = noise_ref[2, :], noise_ref[3, :]
     else:
-        l1, l2 = uniforms(2)
+        rnd_all = uniforms(4 + 4 * max_path_length)
+        a1, a2 = draw_aa_jitter(lambda k: rnd_all[:k], aa_noise_type)
+        l1, l2 = rnd_all[2], rnd_all[3]
     o, d = raygen(
         cols_ref[:], rows_ref[:], a1, a2, l1, l2,
         width=width, height=height, tanfov_x=tanfov_x, tanfov_y=tanfov_y,
@@ -404,16 +427,45 @@ def _kernel(
     st = initial_bounce_state(o, d)
 
     # --- bounce loop, fully unrolled; semantics = wavefront.bounce_body ---
-    for bounce_idx in range(max_path_length):
+    def bounce_rnd(b):
         if host_noise:
-            base = 4 + 4 * bounce_idx
-            rnd = [noise_ref[base + j, :] for j in range(4)]
-        else:
-            rnd = uniforms(4)
-        st = bounce_once(
-            sph_ref, dsc_ref, num_s, num_d, st, *rnd, bounce_idx,
-            refr_index, stop_prob, roulette_depth,
-        )
+            return [noise_ref[4 + 4 * b + j, :] for j in range(4)]
+        return rnd_all[4 + 4 * b : 8 + 4 * b]
+
+    def run_bounces(s, lo, hi):
+        for b in range(lo, hi):
+            s = bounce_once(
+                sph_ref, dsc_ref, num_s, num_d, s, *bounce_rnd(b), b,
+                refr_index, stop_prob, roulette_depth,
+            )
+        return s
+
+    def any_alive(s):
+        return jnp.sum(s.alive.astype(jnp.float32)) > 0.0
+
+    # Dead-block early-out: bounce_once is exactly the identity when no
+    # lane is alive (every update is where(alive, ...)), and all
+    # randomness is drawn up front, so skipping preserves replay
+    # semantics.  With a raster-ordered worklist a block is a contiguous
+    # image strip; sky strips lose every lane on bounce 0 (94% of paths
+    # escape, mean path length 1.6 at the default scene).  Two nested
+    # conditionals (not one per bounce - that explodes Mosaic compile
+    # time): skip after the primary bounce, and again partway through.
+    split = min(1 + (max_path_length - 1) // 3, max_path_length)
+
+    def tail_bounces(s):
+        s = run_bounces(s, 1, split)
+        if split < max_path_length:
+            s = bounce_cond(
+                any_alive(s),
+                lambda t: run_bounces(t, split, max_path_length),
+                s,
+            )
+        return s
+
+    st = run_bounces(st, 0, 1)
+    if max_path_length > 1:
+        st = bounce_cond(any_alive(st), tail_bounces, st)
 
     rad_ref[:] = jnp.stack([st.radiance.x, st.radiance.y, st.radiance.z], axis=0)
     escd_ref[:] = jnp.stack([st.esc_dir.x, st.esc_dir.y, st.esc_dir.z], axis=0)

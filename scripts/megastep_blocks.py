@@ -31,7 +31,7 @@ def main():
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
 
-    for bs in (512, 1024, 2048, 4096):
+    for bs in (256, 512, 1024, 2048, 4096):
         def step(i, bs=bs):
             out = render_megastep_pallas.__wrapped__(
                 scene, settings, env.params, cols, rows,
