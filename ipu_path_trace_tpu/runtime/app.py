@@ -260,6 +260,15 @@ class PathTracerApp:
         if max_steps is not None:
             steps = min(steps, max_steps)
         host = AsyncTask()
+        # Device-resident film: keep the worklist on device between
+        # steps, download only at save-interval boundaries (Config
+        # docstring).  Needs per-step host results when a UI is attached.
+        device_film = cfg.device_film and ui_server is None
+        if cfg.device_film and ui_server is not None:
+            logger().warning(
+                "--device-film ignored: the remote UI needs per-step results."
+            )
+        work_dev_resident = None
         key = make_base_key(cfg.seed, cfg.rng_impl)
         total_rays = {"n": 0}
         if cfg.profile_dir:
@@ -318,15 +327,61 @@ class PathTracerApp:
 
             # --- device render: setup -> path_trace -> read_results ---
             with self.trace.span("ipu_render"):
-                work_dev = to_device_batch(balancer.work.active)
-                if self.mesh is not None:
-                    work_dev = shard_work(work_dev, self.mesh)
                 step_key = jax.random.key_data(jax.random.fold_in(key, step))
-                out = self.programs.run(
-                    "path_trace", self.scene, settings, work_dev, step_key, self.env
+                if device_film:
+                    # Upload once; thereafter the worklist (and with it
+                    # the film accumulation) stays on device.
+                    if work_dev_resident is None:
+                        work_dev_resident = to_device_batch(balancer.work.active)
+                        if self.mesh is not None:
+                            work_dev_resident = shard_work(work_dev_resident, self.mesh)
+                    work_dev_resident = self.programs.run(
+                        "path_trace", self.scene, settings, work_dev_resident,
+                        step_key, self.env,
+                    )
+                    records = None
+                    if step % cfg.save_interval == 0 or step == steps:
+                        records = from_device_batch(work_dev_resident)
+                else:
+                    work_dev = to_device_batch(balancer.work.active)
+                    if self.mesh is not None:
+                        work_dev = shard_work(work_dev, self.mesh)
+                    out = self.programs.run(
+                        "path_trace", self.scene, settings, work_dev, step_key, self.env
+                    )
+                    records = from_device_batch(out)  # blocks on device completion
+                    balancer.work.active = records
+
+            if device_film:
+                # Minimal host pipeline: the records carry EVERY step's
+                # sums, so a fetch rebuilds the film in one pass - each
+                # record's rgb / sampleCount is the running per-pixel
+                # mean, i.e. exactly hdr_at_step(step) of the step-wise
+                # path (sum_k (rgb_k/sps) / k == sum rgb / (k*sps)).
+                with self.trace.span("wait_for_host"):
+                    host.wait_for_completion()
+                if records is not None:
+                    def device_film_processing(step=step, recs=records):
+                        with self.trace.span("accumulate_framebuffers"):
+                            film.reset()
+                            film.accumulate(recs)
+                        with self.trace.span("save_images"):
+                            save_images(
+                                cfg.outfile,
+                                film.hdr_at_step(1),
+                                film.ldr(1, state["exposure"], state["gamma"]),
+                            )
+                            logger().info("Saved images at step %d", step)
+
+                    host.run(device_film_processing)
+                secs = time.monotonic() - loop_start
+                sample_rate = cfg.width * cfg.height * self.samples_per_step / secs
+                logger().info(
+                    "Completed render step %d/%d in %.3f seconds (Samples/sec %.3g)",
+                    step, steps, secs, sample_rate,
                 )
-                records = from_device_batch(out)  # blocks on device completion
-                balancer.work.active = records
+                step += 1
+                continue
 
             # --- host pipeline (PathTracerApp.cpp:700-761) ---
             with self.trace.span("wait_for_host"):

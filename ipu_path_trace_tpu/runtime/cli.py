@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "(reference semantics); baked: decode the NIF once "
                           "to an equirect texture and use bilinear lookups "
                           "(TPU-first; much faster, azimuth needs no re-bake).")
+    tpu.add_argument("--device-film", action="store_true", default=False,
+                     help="Keep the worklist device-resident between steps and "
+                          "download results only at save-interval boundaries "
+                          "(TPU-first; the reference round-trips the trace "
+                          "buffer every step).  Incompatible with "
+                          "--enable-load-balancing; ignored with --ui-port.")
     tpu.add_argument("--rng-impl", default="auto",
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "
@@ -156,6 +162,7 @@ def parse_config(argv=None) -> Config:
         device_timing=args.device_timing,
         aperture=args.aperture,
         focal_distance=args.focal_distance,
+        device_film=args.device_film,
     )
     cfg.validate()
     return cfg

@@ -63,10 +63,25 @@ class Config:
     # Thin-lens depth of field; aperture 0 = the reference's pinhole:
     aperture: float = 0.0
     focal_distance: float = 1.0
+    # Keep the worklist device-resident between steps and download it
+    # only at save-interval boundaries.  The reference round-trips the
+    # whole 20 B/pixel trace buffer every step because the host owns
+    # accumulation (PathTracerApp.cpp:425-475); on TPU the film can stay
+    # on device (cost quantified by scripts/host_roundtrip_bench.py; the
+    # round-trip matters most at small interactive step sizes where the
+    # 20 B/pixel transfer rivals the compute).  Incompatible with dynamic load
+    # balancing (which must inspect per-step path lengths on the host);
+    # ignored when a remote UI is attached (it needs per-step results).
+    device_film: bool = False
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:
             raise ValueError("You can not set both save-exe and load-exe.")
+        if self.device_film and self.enable_load_balancing:
+            raise ValueError(
+                "--device-film is incompatible with --enable-load-balancing "
+                "(load balancing needs per-step path lengths on the host)"
+            )
         if not self.assets:
             raise ValueError("the option '--assets' is required but missing")
         if self.samples_per_step < 1 or self.samples < 1:

@@ -1,0 +1,59 @@
+"""Device-resident film mode (--device-film).
+
+The step-wise path accumulates sum_k(rgb_k / sps) / k on the host; the
+device-film path keeps the worklist on device and rebuilds the film
+from the running totals: sum(rgb) / (k * sps).  With load balancing off
+and identical step keys the two are the same sum in a different
+association, so the films must agree to float tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from ipu_path_trace_tpu.runtime.app import PathTracerApp
+from ipu_path_trace_tpu.runtime.config import Config
+
+
+def _render(tmp_path, device_film: bool, save_interval: int = 1):
+    cfg = Config(
+        outfile=str(tmp_path / f"df_{device_film}_{save_interval}.png"),
+        assets="constant:0.8,0.7,0.6",
+        width=16,
+        height=16,
+        samples=6,
+        samples_per_step=2,
+        save_interval=save_interval,
+        seed=3,
+        device_film=device_film,
+    )
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    film = app.execute()
+    steps = cfg.rounded_samples_per_pixel() // cfg.samples_per_step
+    return film.hdr_at_step(1 if device_film else steps)
+
+
+def test_device_film_matches_stepwise(tmp_path):
+    base = _render(tmp_path, device_film=False)
+    dev = _render(tmp_path, device_film=True)
+    np.testing.assert_allclose(dev, base, rtol=2e-5, atol=2e-6)
+    assert np.isfinite(dev).all() and dev.max() > 0
+
+
+def test_device_film_sparse_save_interval(tmp_path):
+    """Fetches only every 3rd step; the final step must still be saved
+    and the film must match the every-step fetch."""
+    every = _render(tmp_path, device_film=True, save_interval=1)
+    sparse = _render(tmp_path, device_film=True, save_interval=3)
+    np.testing.assert_allclose(sparse, every, rtol=1e-6, atol=0)
+    assert (tmp_path / "df_True_3.png").exists()
+
+
+def test_device_film_rejects_load_balancing():
+    cfg = Config(
+        outfile="x.png", assets="constant:1,1,1",
+        device_film=True, enable_load_balancing=True,
+    )
+    with pytest.raises(ValueError, match="load-balancing"):
+        cfg.validate()
