@@ -11,7 +11,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 WIDTH, HEIGHT = 1104, 1000
-LOOP = 16
+LOOP = 300
 REPS = 3
 
 
@@ -31,7 +31,7 @@ def main():
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
 
-    for bs in (256, 512, 1024, 2048, 4096):
+    for bs in (1024, 2048, 4096, 8192):
         def step(i, bs=bs):
             out = render_megastep_pallas.__wrapped__(
                 scene, settings, env.params, cols, rows,

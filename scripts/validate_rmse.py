@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-W = H = 24
-SPP = 1000
+W = H = int(os.environ.get("RMSE_SIZE", "24"))
+SPP = int(os.environ.get("RMSE_SPP", "1000"))
 SEED = 7
 
 
