@@ -67,9 +67,10 @@ class Config:
     # only at save-interval boundaries.  The reference round-trips the
     # whole 20 B/pixel trace buffer every step because the host owns
     # accumulation (PathTracerApp.cpp:425-475); on TPU the film can stay
-    # on device (cost quantified by scripts/host_roundtrip_bench.py; the
-    # round-trip matters most at small interactive step sizes where the
-    # 20 B/pixel transfer rivals the compute).  Incompatible with dynamic load
+    # on device (cost quantified in scripts/host_roundtrip_bench.py: on
+    # a direct PCIe host the round-trip is ~8% of an 8 spp interactive
+    # step; through the dev tunnel it dominates every step size).
+    # Incompatible with dynamic load
     # balancing (which must inspect per-step path lengths on the host);
     # ignored when a remote UI is attached (it needs per-step results).
     device_film: bool = False

@@ -5,10 +5,22 @@ it back (runtime/app.py ipu_render span) - reference parity (20B/pixel
 both ways, src/PathTracerApp.cpp:425-475).  This quantifies that cost
 vs pure device time at interactive (8 spp) and full (300 spp) step
 sizes to decide whether a device-resident film mode is worth having.
+
+Measured on the attached v5e via the axon tunnel (scripts/xfer probes,
+2026-08-17): device->host first use pays a ~174 s per-process
+initialisation, then transfers run at ~27 MB/s down / ~39 MB/s up with
+a ~40 ms per-transfer latency floor.  At 1104x1000 the 7-array SoA
+round-trip is therefore ~1.8 s/step - ~40% of a 300 spp step and ~25x
+an 8 spp interactive step - which is why `--device-film` exists.  On a
+direct PCIe host (>=10 GB/s) the same round-trip is ~6 ms: <1% at
+300 spp, ~8% at 8 spp.  Default frame here is 512x512 so the script
+completes quickly through the tunnel; set RT_SIZE=1104x1000 for the
+full-frame numbers.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,7 +30,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-WIDTH, HEIGHT = 1104, 1000
+WIDTH, HEIGHT = map(int, os.environ.get("RT_SIZE", "512x512").split("x"))
 
 
 def main():
