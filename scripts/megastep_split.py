@@ -16,8 +16,8 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 WIDTH, HEIGHT = 1104, 1000
-LOOP = 16
-REPS = 3
+LOOP = 300
+REPS = 2
 
 from ipu_path_trace_tpu.ops import megastep_pallas as mp  # noqa: E402
 

@@ -50,6 +50,53 @@ def test_device_film_sparse_save_interval(tmp_path):
     assert (tmp_path / "df_True_3.png").exists()
 
 
+def test_device_film_on_mesh(tmp_path):
+    """Device-resident worklist composes with the 8-device mesh: the
+    sharded WorkBatch stays on device between steps and gathers only at
+    the save-interval fetch."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    cfg = Config(
+        outfile=str(tmp_path / "df_mesh.png"),
+        assets="constant:0.5,0.6,0.7",
+        width=16,
+        height=16,
+        samples=4,
+        samples_per_step=2,
+        save_interval=2,
+        seed=5,
+        ipus=8,
+        device_film=True,
+    )
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    film = app.execute()
+    dev = film.hdr_at_step(1)
+    assert np.isfinite(dev).all() and dev.max() > 0
+
+    # Must equal the step-wise render on the SAME mesh (the per-chip RNG
+    # streams differ from unsharded single-chip by design - see
+    # tests/test_mesh.py - so the comparison partner is mesh+step-wise):
+    cfg2 = Config(
+        outfile=str(tmp_path / "df_mesh_stepwise.png"),
+        assets="constant:0.5,0.6,0.7",
+        width=16, height=16, samples=4, samples_per_step=2,
+        save_interval=2, seed=5, ipus=8,
+    )
+    app2 = PathTracerApp(cfg2)
+    app2.init()
+    app2.build()
+    film2 = app2.execute()
+    steps = cfg2.rounded_samples_per_pixel() // cfg2.samples_per_step
+    stepwise = film2.hdr_at_step(steps)
+    np.testing.assert_allclose(dev, stepwise, rtol=2e-5, atol=2e-6)
+
+
 def test_device_film_rejects_load_balancing():
     cfg = Config(
         outfile="x.png", assets="constant:1,1,1",
