@@ -90,7 +90,17 @@ class PathTracerApp:
             logger().info("Using CPU simulator backend (--model).")
         self.trace = TraceChannel("tpu_path_tracer")
         self.programs = ProgramManager()
-        self.scene = default_scene()
+        if config.scene:
+            from ..core.scenefile import load_scene
+
+            self.scene = load_scene(config.scene)
+            logger().info(
+                "Loaded scene '%s': %d spheres, %d discs",
+                config.scene, self.scene.num_spheres,
+                self.scene.num_objects - self.scene.num_spheres,
+            )
+        else:
+            self.scene = default_scene()
         self.env = None
         self.nif_info = None
         self.mesh = None

@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "(reference semantics); baked: decode the NIF once "
                           "to an equirect texture and use bilinear lookups "
                           "(TPU-first; much faster, azimuth needs no re-bake).")
+    tpu.add_argument("--scene", default="",
+                     help="JSON scene description (spheres/discs with colour, "
+                          "emission, material); default: the reference's "
+                          "built-in scene. See core/scenefile.py for the schema.")
     tpu.add_argument("--device-film", action="store_true", default=False,
                      help="Keep the worklist device-resident between steps and "
                           "download results only at save-interval boundaries "
@@ -163,6 +167,7 @@ def parse_config(argv=None) -> Config:
         aperture=args.aperture,
         focal_distance=args.focal_distance,
         device_film=args.device_film,
+        scene=args.scene,
     )
     cfg.validate()
     return cfg

@@ -74,6 +74,9 @@ class Config:
     # balancing (which must inspect per-step path lengths on the host);
     # ignored when a remote UI is attached (it needs per-step results).
     device_film: bool = False
+    # JSON scene description (core/scenefile.py); "" = the reference's
+    # hard-coded default scene (codelets.cpp:111-144).
+    scene: str = ""
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:
