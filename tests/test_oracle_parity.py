@@ -48,8 +48,8 @@ def _jax_streams(base_key, sample_idx, n, max_path_length, noise_type="normal"):
     return aa, uniforms
 
 
-def _run_pair(env_jax, env_oracle, spp=4, seed=7):
-    scene = default_scene()
+def _run_pair(env_jax, env_oracle, spp=4, seed=7, scene=None):
+    scene = default_scene() if scene is None else scene
     oscene = oracle_scene_from(scene)
     cfg = StaticConfig(width=W, height=H, max_path_length=10)
     settings = RenderSettings(
@@ -119,6 +119,25 @@ def test_constant_env_parity():
     assert int(np.asarray(out.path_length).sum()) > 0
     # sampleCount bookkeeping:
     assert (np.asarray(out.sample_count) == 4).all()
+
+
+def test_emissive_scene_parity():
+    """EMIT-path coverage end to end: the default scene has no emissive
+    objects, so run the bundled example scene (emissive ball light) under
+    a near-black env - any significant radiance is emitted light, and it
+    must replay identically through the oracle (codelets.cpp:192-198
+    emit semantics)."""
+    from ipu_path_trace_tpu.core.scenefile import load_scene
+
+    scene = load_scene("assets/scenes/three_spheres.json")
+    dark = np.asarray([0.01, 0.01, 0.015], np.float32)
+    img_jax, img_oracle, out = _run_pair(
+        ConstantEnv(colour=jnp.asarray(dark)),
+        ("constant", dark),
+        scene=scene,
+    )
+    _assert_parity(img_jax, img_oracle, scale=max(1.0, float(img_oracle.max())))
+    assert img_jax.max() > 0.5  # the ball light actually lights the frame
 
 
 def test_texture_env_parity():
