@@ -88,3 +88,20 @@ def from_device_batch(batch: WorkBatch) -> np.ndarray:
     wl["sampleCount"] = np.clip(np.asarray(batch.sample_count), 0, 0xFFFF).astype(np.uint16)
     wl["pathLength"] = np.asarray(batch.path_length).astype(np.uint16) # wraps mod 2^16 like the u16 field
     return wl
+
+
+def raster_permutation(records: np.ndarray, width: int, height: int) -> np.ndarray:
+    """(H*W,) int32 map: raster pixel index -> worklist record index.
+
+    The worklist is shuffled (seed-142 parity shuffle) and padded with
+    0xFFFF dummies, so reconstructing an image on device needs a gather
+    by this permutation.  Every real pixel must appear exactly once
+    (the LoadBalancer invariant: permutes, never duplicates).
+    """
+    assert records.dtype == TRACE_RECORD_DTYPE
+    u = records["u"].astype(np.int64)
+    v = records["v"].astype(np.int64)
+    ok = (u < width) & (v < height)
+    perm = np.zeros(height * width, np.int64)
+    perm[v[ok] * width + u[ok]] = np.nonzero(ok)[0]
+    return perm.astype(np.int32)

@@ -193,7 +193,9 @@ def _kernel(
         # scene).  Two nested conditionals (not one per bounce - that
         # explodes Mosaic compile time): skip after the primary bounce,
         # and again partway through the unroll.
-        split = min(1 + (max_path_length - 1) // 3, max_path_length)
+        split = globals().get("_SPLIT_OVERRIDE") or min(
+            1 + (max_path_length - 1) // 3, max_path_length
+        )
 
         def tail_bounces(s):
             s = run_bounces(s, 1, split)

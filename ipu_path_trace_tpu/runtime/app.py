@@ -44,6 +44,28 @@ from .worklist import LoadBalancer, create_tracing_jobs
 # samples-per-step (PathTracerApp.cpp:643,670-675):
 SAMPLE_COUNT_REVERSION_STEP = 5
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("width", "height"))
+def _device_preview(work, perm, exposure, gamma, *, width, height):
+    """Tone-mapped LDR preview computed ON DEVICE from the resident
+    worklist (device-film mode): rgb/sampleCount is the running
+    per-pixel mean, gathered into raster order by ``perm`` and
+    tone-mapped with the reference curve ``(x * 2^exposure)^(1/gamma)``
+    (AccumulatedImage.cpp:23-46).  Only H*W*3 bytes cross to the host
+    per preview instead of the 20 B/pixel worklist both ways."""
+    cnt = jnp.maximum(work.sample_count, 1).astype(jnp.float32)
+    inv = jnp.where(work.sample_count > 0, 1.0 / cnt, 0.0)
+    r = (work.r * inv)[perm]
+    g = (work.g * inv)[perm]
+    b = (work.b * inv)[perm]
+    rgb = jnp.stack([r, g, b], axis=-1)
+    scaled = jnp.maximum(rgb * jnp.exp2(exposure), 0.0)
+    ldr = jnp.power(scaled, 1.0 / gamma)
+    out = jnp.clip(jnp.rint(ldr * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    return out.reshape(height, width, 3)
+
 
 def parse_env_assets(assets: str, partials_type: str = "half"):
     """Build the environment light from the --assets argument.
@@ -272,13 +294,19 @@ class PathTracerApp:
         host = AsyncTask()
         # Device-resident film: keep the worklist on device between
         # steps, download only at save-interval boundaries (Config
-        # docstring).  Needs per-step host results when a UI is attached.
-        device_film = cfg.device_film and ui_server is None
-        if cfg.device_film and ui_server is not None:
-            logger().warning(
-                "--device-film ignored: the remote UI needs per-step results."
-            )
+        # docstring).  With a UI attached, per-step previews are
+        # tone-mapped ON DEVICE and only H*W*3 LDR bytes cross to the
+        # host (_device_preview) - the full worklist still only moves
+        # at save-interval.
+        device_film = cfg.device_film
         work_dev_resident = None
+        raster_perm = None
+        if device_film:
+            from ..core.records import raster_permutation
+
+            raster_perm = jnp.asarray(
+                raster_permutation(balancer.work.active, cfg.width, cfg.height)
+            )
         key = make_base_key(cfg.seed, cfg.rng_impl)
         total_rays = {"n": 0}
         if cfg.profile_dir:
@@ -320,6 +348,7 @@ class PathTracerApp:
                         host.wait_for_completion()
                         film.reset()
                         balancer.clear_active_accumulators()
+                        work_dev_resident = None  # device-film: re-upload cleared
                         start_time = time.monotonic()
                         step = 1
                         self.samples_per_step = state["interactive_samples"]
@@ -370,18 +399,39 @@ class PathTracerApp:
                 # path (sum_k (rgb_k/sps) / k == sum rgb / (k*sps)).
                 with self.trace.span("wait_for_host"):
                     host.wait_for_completion()
+                if ui_server is not None:
+                    # Device-side tone map + raster gather; only the
+                    # LDR preview crosses to the host each step:
+                    live = ui_server.get_state()
+                    state["exposure"] = live["exposure"]
+                    state["gamma"] = live["gamma"]
+                    with self.trace.span("ui_preview"):
+                        ldr = np.asarray(
+                            _device_preview(
+                                work_dev_resident, raster_perm,
+                                jnp.float32(state["exposure"]),
+                                jnp.float32(state["gamma"]),
+                                width=cfg.width, height=cfg.height,
+                            )
+                        )
+                    with self.trace.span("ui_encode"):
+                        ui_server.send_preview_image(ldr)
+                    ui_server.update_progress(step, steps)
                 if records is not None:
-                    def device_film_processing(step=step, recs=records):
+                    def device_film_processing(step=step, recs=records, ui=ui_server):
                         with self.trace.span("accumulate_framebuffers"):
                             film.reset()
                             film.accumulate(recs)
-                        with self.trace.span("save_images"):
-                            save_images(
-                                cfg.outfile,
-                                film.hdr_at_step(1),
-                                film.ldr(1, state["exposure"], state["gamma"]),
-                            )
-                            logger().info("Saved images at step %d", step)
+                        if ui is not None:
+                            ui.start_sending_raw_image(film.hdr_at_step(1))
+                        else:
+                            with self.trace.span("save_images"):
+                                save_images(
+                                    cfg.outfile,
+                                    film.hdr_at_step(1),
+                                    film.ldr(1, state["exposure"], state["gamma"]),
+                                )
+                                logger().info("Saved images at step %d", step)
 
                     host.run(device_film_processing)
                 secs = time.monotonic() - loop_start
@@ -390,6 +440,8 @@ class PathTracerApp:
                     "Completed render step %d/%d in %.3f seconds (Samples/sec %.3g)",
                     step, steps, secs, sample_rate,
                 )
+                if ui_server is not None:
+                    ui_server.update_sample_rate(sample_rate, 0.0)
                 step += 1
                 continue
 

@@ -113,8 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Keep the worklist device-resident between steps and "
                           "download results only at save-interval boundaries "
                           "(TPU-first; the reference round-trips the trace "
-                          "buffer every step).  Incompatible with "
-                          "--enable-load-balancing; ignored with --ui-port.")
+                          "buffer every step).  With --ui-port, previews are "
+                          "tone-mapped on device (LDR bytes only).  "
+                          "Incompatible with --enable-load-balancing.")
     tpu.add_argument("--rng-impl", default="auto",
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "

@@ -71,8 +71,10 @@ class Config:
     # a direct PCIe host the round-trip is ~8% of an 8 spp interactive
     # step; through the dev tunnel it dominates every step size).
     # Incompatible with dynamic load
-    # balancing (which must inspect per-step path lengths on the host);
-    # ignored when a remote UI is attached (it needs per-step results).
+    # balancing (which must inspect per-step path lengths on the host).
+    # With a remote UI attached, per-step previews are tone-mapped on
+    # device and only H*W*3 LDR bytes cross to the host (_device_preview);
+    # the full worklist still moves only at save-interval.
     device_film: bool = False
     # JSON scene description (core/scenefile.py); "" = the reference's
     # hard-coded default scene (codelets.cpp:111-144).
