@@ -92,6 +92,7 @@ def _kernel(
     aa_noise_type: str,
     host_samples: int,  # 0 = hardware PRNG; >0 = host-noise parity mode
     upcast_dot: bool,  # interpret mode: f32 dots (nif_pallas.nif_layer)
+    split_point: int | None,  # early-out split bounce; None = default formula
     # refs:
     fpar_ref,  # SMEM (1, 8) f32
     ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed0 seed1 n_samples
@@ -193,7 +194,7 @@ def _kernel(
         # scene).  Two nested conditionals (not one per bounce - that
         # explodes Mosaic compile time): skip after the primary bounce,
         # and again partway through the unroll.
-        split = globals().get("_SPLIT_OVERRIDE") or min(
+        split = split_point if split_point is not None else min(
             1 + (max_path_length - 1) // 3, max_path_length
         )
 
@@ -247,7 +248,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "max_path_length", "aa_noise_type",
-        "block_size", "interpret",
+        "block_size", "interpret", "split_point",
     ),
 )
 def render_megastep_pallas(
@@ -265,6 +266,7 @@ def render_megastep_pallas(
     aa_noise_type: str = "normal",
     block_size: int = 2048,  # 300-spp sweep: 2048 edges 1024/4096 by ~1%
     interpret: bool = False,
+    split_point: int | None = None,  # probe knob (scripts/megastep_splitpoint)
 ) -> MegaStepOut:
     """Render settings.samples_per_step samples of every pixel, fused.
 
@@ -361,7 +363,7 @@ def render_megastep_pallas(
         functools.partial(
             _kernel, num_s, num_d, max_path_length, num_layers,
             params.embedding_dim, width, height, aa_noise_type, host_samples,
-            interpret,
+            interpret, split_point,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, n), jnp.float32),

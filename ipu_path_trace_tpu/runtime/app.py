@@ -225,7 +225,18 @@ class PathTracerApp:
             n_px = self.mesh.shape["pixels"] if self.mesh is not None else 1
             worklist = create_tracing_jobs(cfg.width, cfg.height, multiple_of=n_px)
             self.balancer = LoadBalancer(len(worklist))
-            self.balancer.randomise_work_list(worklist)
+            if cfg.enable_load_balancing:
+                # The reference's seed-142 shuffle spreads work across IPU
+                # tiles (LoadBalancer.cpp:118-139) and pairs with the
+                # per-step path-length re-deal.  On TPU the equivalent
+                # "tiles" are SIMD lanes: a RASTER-ordered worklist keeps
+                # kernel blocks spatially coherent so the dead-block
+                # early-out fires (sky strips skip the bounce-unroll tail,
+                # +14% - ops/trace_pallas.py), which a shuffle destroys.
+                # So shuffle only when dynamic balancing asked for it.
+                self.balancer.randomise_work_list(worklist)
+            else:
+                self.balancer.work.inactive = worklist.copy()
             self.balancer.work.active = self.balancer.work.inactive.copy()
         self.film = Film(cfg.width, cfg.height)
 
@@ -300,6 +311,7 @@ class PathTracerApp:
         # at save-interval.
         device_film = cfg.device_film
         work_dev_resident = None
+        df_dirty = False  # device-resident samples newer than the film?
         raster_perm = None
         if device_film:
             from ..core.records import raster_permutation
@@ -315,6 +327,12 @@ class PathTracerApp:
             # view with tensorboard / xprof.
             jax.profiler.start_trace(cfg.profile_dir)
             logger().info("Profiler trace -> '%s'", cfg.profile_dir)
+        if cfg.device_timing and self.mesh is not None:
+            logger().warning(
+                "--device-timing measures single-chip kernels and is "
+                "skipped with --ipus > 1; use --profile-dir for a mesh "
+                "trace."
+            )
         if cfg.device_timing and self.mesh is None:
             # Per-phase device-time split at the real render shape - the
             # analog of the reference's per-step cycle counters
@@ -381,6 +399,7 @@ class PathTracerApp:
                     records = None
                     if step % cfg.save_interval == 0 or step == steps:
                         records = from_device_batch(work_dev_resident)
+                    df_dirty = records is None
                 else:
                     work_dev = to_device_batch(balancer.work.active)
                     if self.mesh is not None:
@@ -505,6 +524,13 @@ class PathTracerApp:
             step += 1
 
         host.wait_for_completion()
+        if device_film and df_dirty and work_dev_resident is not None:
+            # Early exit (UI stop) between save-interval fetches: pull the
+            # device-resident accumulation so no completed samples are
+            # lost - the step-wise path's film is current every step.
+            with self.trace.span("final_fetch"):
+                film.reset()
+                film.accumulate(from_device_batch(work_dev_resident))
         if cfg.profile_dir:
             jax.profiler.stop_trace()
         elapsed = time.monotonic() - start_time

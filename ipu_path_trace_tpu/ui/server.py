@@ -269,10 +269,28 @@ class InterfaceServer:
         sender = self._sender
         if sender is None:
             return
-        if self._video is not None:
-            for chunk in self._video.encode(ldr):
-                sender.send("render_preview", chunk)
-            return
+        video = self._video
+        if video is not None:
+            try:
+                for chunk in video.encode(ldr):
+                    sender.send("render_preview", chunk)
+                return
+            except Exception as e:  # noqa: BLE001
+                # Encoder died mid-stream (ffmpeg without the codec exits
+                # after startup; or a client-disconnect teardown closed it
+                # concurrently).  A preview must never abort the render:
+                # drop this encoder and fall back to JPEG stills - unless
+                # teardown already installed a fresh one for the next
+                # client, which we must not clobber.
+                logger().warning(
+                    "Preview video encode failed (%s); falling back to JPEG stills.", e
+                )
+                if self._video is video:
+                    self._video = None
+                    try:
+                        video.close()
+                    except Exception:  # noqa: BLE001
+                        pass
         from PIL import Image
 
         buf = io.BytesIO()
@@ -297,13 +315,18 @@ class InterfaceServer:
         h, w, c = hdr.shape
         if c != 3:
             raise ValueError("Only transmission of 3 channel raw data is supported.")
-        self._sender.send("hdr_header", pack_u32(w) + pack_u32(h) + pack_u32(h))
+        sender = self._sender
+        sender.send("hdr_header", pack_u32(w) + pack_u32(h) + pack_u32(h))
         data = np.ascontiguousarray(hdr, np.float32)
 
         def tx():
+            # The muxer is captured locally: _teardown_client nulls
+            # self._sender while a transfer is in flight (a 1000-row
+            # frame takes ~2 s at the throttle); sending on the closed
+            # muxer returns False -> the clean abort below.
             t0 = time.monotonic()
             for row in range(h):
-                if not self._sender.send(
+                if not sender.send(
                     "hdr_packet", pack_u32(row) + pack_f32vec(data[row].ravel())
                 ):
                     logger().warning("Raw image transfer aborted (client gone).")

@@ -96,7 +96,7 @@ def measure_phases(scene, settings, cfg, work, step_key, env,
     def step(work, key):
         return render_step_impl(scene, loop_settings, cfg, work, key, env).r[0]
 
-    step_s = _time_scalar(lambda: step(work, jax.random.key(5)), reps) / loop
+    step_s = _time_scalar(lambda: step(work, step_key), reps) / loop
     out["step_ms"] = step_s * 1e3
     out["mpaths_per_sec"] = n_pixels / step_s / 1e6
     return out

@@ -25,7 +25,11 @@ def _leaf_info(path: str, leaf) -> str | None:
             spec = getattr(sharding, "spec", None)
             n_dev = len(sharding.device_set)
             shard_desc = f" sharding={spec if spec is not None else sharding} devices={n_dev}"
-            nbytes //= max(n_dev, 1) if spec else 1
+            # Per-device bytes from the actual shard shape - dividing by
+            # the device count is wrong for arrays sharded on only one
+            # axis of a multi-axis mesh (the other axis replicates):
+            shard_shape = sharding.shard_shape(tuple(leaf.shape))
+            nbytes = int(np.prod(shard_shape, dtype=np.int64)) * leaf.dtype.itemsize
         except Exception:  # noqa: BLE001 - best-effort debug output
             shard_desc = ""
     else:

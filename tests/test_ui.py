@@ -33,12 +33,44 @@ def test_state_updates(pair):
     client.set_fov(60.0)
     client.set_env_rotation(45.0)
     client.set_interactive_samples(4)
-    assert _wait(server.state_changed)
+    # The three packets arrive independently; state_changed() fires on
+    # the FIRST, so wait until every field has landed before consuming:
+    assert _wait(
+        lambda: (
+            server.get_state()["fov"] == 60.0
+            and server.get_state()["env_rotation"] == 45.0
+            and server.get_state()["interactive_samples"] == 4
+        )
+    )
+    assert server.state_changed()
     state = server.consume_state()
     assert state["fov"] == 60.0
     assert state["env_rotation"] == 45.0
     assert state["interactive_samples"] == 4
     assert not server.state_changed()
+
+
+def test_preview_encoder_failure_falls_back(pair):
+    """A video encoder dying mid-stream (e.g. ffmpeg without libx264
+    exits after startup) must never abort the render: the frame falls
+    back to JPEG stills and the broken encoder is dropped."""
+    server, client = pair
+
+    class BrokenEncoder:
+        codec = "h264"
+
+        def encode(self, ldr):
+            raise BrokenPipeError("ffmpeg died")
+
+        def close(self):
+            pass
+
+    server._video = BrokenEncoder()
+    ldr = np.full((16, 16, 3), 128, np.uint8)
+    server.send_preview_image(ldr)  # must not raise
+    assert server._video is None  # broken encoder dropped
+    assert _wait(lambda: len(client.preview_frames) > 0)
+    server.send_preview_image(ldr)  # subsequent frames keep flowing
 
 
 def test_exposure_gamma_do_not_restart(pair):
