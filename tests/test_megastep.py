@@ -88,6 +88,31 @@ def test_megastep_matches_xla_chain():
     assert rel.max() < 8e-2
 
 
+def test_megastep_dof_parity():
+    """Thin-lens DoF through the fused step replays the XLA chain (the
+    lens uniforms are noise rows 2:4 in both)."""
+    scene, cfg, settings, params, cols, rows, noise = _setup()
+    settings = settings._replace(
+        aperture=jnp.float32(0.08), focal_distance=jnp.float32(3.2)
+    )
+    ref_rad, ref_plen = _xla_twin(scene, cfg, settings, params, cols, rows, noise)
+    out = render_megastep_pallas(
+        scene, settings, params, cols, rows, noise=jnp.asarray(noise),
+        width=W, height=H, max_path_length=MAXLEN,
+        aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
+    )
+    got = np.stack(
+        [np.asarray(out.radiance.x), np.asarray(out.radiance.y), np.asarray(out.radiance.z)]
+    )
+    flipped = np.asarray(out.path_len) != ref_plen
+    assert flipped.mean() < 5e-3, f"{flipped.sum()} flipped lanes"
+    ok = ~flipped
+    scale = np.abs(ref_rad).max()
+    rel = (np.abs(got - ref_rad) / (np.abs(ref_rad) + 1e-2 * scale))[:, ok]
+    assert np.median(rel) < 5e-3
+    assert rel.max() < 8e-2
+
+
 def test_megastep_zero_samples():
     """samples_per_step staying dynamic means 0 must work (and yield 0)."""
     scene, cfg, settings, params, cols, rows, noise = _setup()
