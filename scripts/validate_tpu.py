@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, ".")  # runnable from the repo root without installing
+
 import numpy as np
 import jax
 import jax.numpy as jnp
