@@ -55,6 +55,14 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
+    # Warm the tunnel transfer paths up front and visibly: the FIRST
+    # device->host fetch through the axon tunnel can pay a multi-minute
+    # one-time initialisation (CLAUDE.md).  Doing it on a trivial array
+    # keeps that cost out of the timed phases and shows progress.
+    t0 = time.monotonic()
+    _ = float(jnp.sum(jnp.arange(8.0)))
+    print(f"tunnel warmup: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
     scene = default_scene()
     weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
     env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
