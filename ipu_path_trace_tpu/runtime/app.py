@@ -320,7 +320,17 @@ class PathTracerApp:
                 raster_permutation(balancer.work.active, cfg.width, cfg.height)
             )
         key = make_base_key(cfg.seed, cfg.rng_impl)
+        # Per-step key folding runs on the CPU backend: on the default
+        # (TPU) device each fold_in is a tiny dispatch whose latency is
+        # pure overhead in the hot loop (fold_in's threefry derivation
+        # is backend-deterministic, so values are unchanged).
+        try:
+            key = jax.device_put(key, jax.devices("cpu")[0])
+        except RuntimeError:
+            pass  # no CPU backend registered; fold on the default device
         total_rays = {"n": 0}
+        settings_sig = None
+        settings = None
         if cfg.profile_dir:
             # XLA/TPU trace of the whole render loop - the analog of the
             # reference's PVTI instrumentation (PathTracerApp.cpp:636-776);
@@ -378,13 +388,29 @@ class PathTracerApp:
                     self.samples_per_step,
                 )
 
-            settings = self.settings(
-                self.samples_per_step, fov_deg=state["fov"], env_rot_deg=state["env_rotation"]
-            )
+            # Rebuild the settings pytree only when an input changed -
+            # each rebuild uploads ~9 scalars, which through a
+            # high-latency transport costs real time every step:
+            sig = (self.samples_per_step, state["fov"], state["env_rotation"])
+            if sig != settings_sig:
+                settings = self.settings(
+                    self.samples_per_step, fov_deg=state["fov"],
+                    env_rot_deg=state["env_rotation"],
+                )
+                if self.mesh is not None:
+                    # Reused arrays are committed after first use; give
+                    # them the same replicated sharding as scene/env so
+                    # they stay compatible with the mesh step:
+                    settings = replicate(settings, self.mesh)
+                settings_sig = sig
 
             # --- device render: setup -> path_trace -> read_results ---
             with self.trace.span("ipu_render"):
-                step_key = jax.random.key_data(jax.random.fold_in(key, step))
+                # numpy so the words are an uncommitted input (the folded
+                # key lives on the CPU backend, see above):
+                step_key = np.asarray(
+                    jax.random.key_data(jax.random.fold_in(key, step))
+                )
                 if device_film:
                     # Upload once; thereafter the worklist (and with it
                     # the film accumulation) stays on device.
