@@ -65,9 +65,9 @@ def test_device_film_on_mesh(tmp_path):
         assets="constant:0.5,0.6,0.7",
         width=16,
         height=16,
-        samples=4,
+        samples=40,  # 20 steps: exercises the step-16 queue drain
         samples_per_step=2,
-        save_interval=2,
+        save_interval=20,
         seed=5,
         ipus=8,
         device_film=True,
@@ -85,8 +85,8 @@ def test_device_film_on_mesh(tmp_path):
     cfg2 = Config(
         outfile=str(tmp_path / "df_mesh_stepwise.png"),
         assets="constant:0.5,0.6,0.7",
-        width=16, height=16, samples=4, samples_per_step=2,
-        save_interval=2, seed=5, ipus=8,
+        width=16, height=16, samples=40, samples_per_step=2,
+        save_interval=20, seed=5, ipus=8,
     )
     app2 = PathTracerApp(cfg2)
     app2.init()
