@@ -320,14 +320,6 @@ class PathTracerApp:
                 raster_permutation(balancer.work.active, cfg.width, cfg.height)
             )
         key = make_base_key(cfg.seed, cfg.rng_impl)
-        # Per-step key folding runs on the CPU backend: on the default
-        # (TPU) device each fold_in is a tiny dispatch whose latency is
-        # pure overhead in the hot loop (fold_in's threefry derivation
-        # is backend-deterministic, so values are unchanged).
-        try:
-            key = jax.device_put(key, jax.devices("cpu")[0])
-        except RuntimeError:
-            pass  # no CPU backend registered; fold on the default device
         total_rays = {"n": 0}
         settings_sig = None
         settings = None
@@ -356,6 +348,19 @@ class PathTracerApp:
                     key, self.env,
                 )
             log_phase_split(split)
+        # Per-step key folding runs on the CPU backend: on the default
+        # (TPU) device each fold_in is a tiny dispatch whose latency is
+        # pure overhead in the hot loop (fold_in's threefry derivation is
+        # backend-deterministic, so values are unchanged).  Done AFTER
+        # the device-timing block - a committed CPU input would pin its
+        # jitted measurement to the CPU device while the Pallas TPU
+        # kernels are still selected.
+        key_on_cpu = False
+        try:
+            key = jax.device_put(key, jax.devices("cpu")[0])
+            key_on_cpu = True
+        except RuntimeError:
+            pass  # no CPU backend registered; fold on the default device
         start_time = time.monotonic()
         logger().info("Render started")
 
@@ -406,11 +411,12 @@ class PathTracerApp:
 
             # --- device render: setup -> path_trace -> read_results ---
             with self.trace.span("ipu_render"):
-                # numpy so the words are an uncommitted input (the folded
-                # key lives on the CPU backend, see above):
-                step_key = np.asarray(
-                    jax.random.key_data(jax.random.fold_in(key, step))
-                )
+                step_key = jax.random.key_data(jax.random.fold_in(key, step))
+                if key_on_cpu:
+                    # numpy so the words are an uncommitted input; when
+                    # the key stayed on the default device this would be
+                    # a blocking per-step device fetch instead, so skip.
+                    step_key = np.asarray(step_key)
                 if device_film:
                     # Upload once; thereafter the worklist (and with it
                     # the film accumulation) stays on device.

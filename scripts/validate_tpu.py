@@ -14,9 +14,11 @@ Run on a machine with an attached TPU:  python scripts/validate_tpu.py
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, ".")  # runnable from the repo root without installing
+# Runnable from anywhere without installing the package:
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax
