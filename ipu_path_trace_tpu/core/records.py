@@ -102,6 +102,17 @@ def raster_permutation(records: np.ndarray, width: int, height: int) -> np.ndarr
     u = records["u"].astype(np.int64)
     v = records["v"].astype(np.int64)
     ok = (u < width) & (v < height)
+    idx = v[ok] * width + u[ok]
+    # Verify the invariant instead of trusting it: a worklist that
+    # duplicates or drops a pixel (or a mismatched width/height) would
+    # otherwise silently map missing pixels to record 0 in the preview.
+    counts = np.bincount(idx, minlength=height * width)
+    if not (counts == 1).all():
+        raise ValueError(
+            f"worklist is not a pixel permutation for {width}x{height}: "
+            f"{int((counts == 0).sum())} missing, "
+            f"{int((counts > 1).sum())} duplicated"
+        )
     perm = np.zeros(height * width, np.int64)
-    perm[v[ok] * width + u[ok]] = np.nonzero(ok)[0]
+    perm[idx] = np.nonzero(ok)[0]
     return perm.astype(np.int32)

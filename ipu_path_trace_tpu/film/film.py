@@ -71,6 +71,36 @@ class Film:
         # on to skip atomics; np.add.at tolerates duplicates regardless.
         np.add.at(self.hdr, (v[ok], u[ok]), rgb[ok])
 
+    def accumulate_soa(
+        self,
+        u: np.ndarray,
+        v: np.ndarray,
+        r: np.ndarray,
+        g: np.ndarray,
+        b: np.ndarray,
+        sample_count: np.ndarray,
+    ) -> None:
+        """Accumulate directly from SoA arrays with int32 sample counts.
+
+        The device-film fetch path must NOT round-trip through the
+        20-byte wire record: its u16 sampleCount field clips at 65535,
+        while a device-resident film accumulates counts for the whole
+        render (the canonical 100k-spp run reaches ~100000
+        samples/record), which would scale the saved image ~1.5x too
+        bright.  Same math as accumulate(), full-width counts.
+        """
+        u = np.asarray(u).astype(np.int64)
+        v = np.asarray(v).astype(np.int64)
+        cnt = np.asarray(sample_count).astype(np.int64)
+        ok = (u < self.width) & (v < self.height) & (cnt > 0)
+        scale = np.zeros(len(u), np.float32)
+        np.divide(1.0, cnt, out=scale, where=cnt > 0)
+        rgb = (
+            np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+            * scale[:, None]
+        )
+        np.add.at(self.hdr, (v[ok], u[ok]), rgb[ok])
+
     def hdr_at_step(self, step: int) -> np.ndarray:
         """The physically-normalised HDR image: accumulated / step."""
         return self.hdr * (1.0 / max(step, 1))

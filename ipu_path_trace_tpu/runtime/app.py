@@ -216,7 +216,12 @@ class PathTracerApp:
     def build(self) -> None:
         """Register and (optionally) AOT-compile the device programs."""
         cfg = self.cfg
-        if cfg.ipus > 1:
+        if cfg.ipus > 1 or cfg.mesh_shape:
+            # An explicit --mesh-shape forces the mesh path even at
+            # --ipus 1 (a 1x1 mesh): the shard_map ∘ Pallas production
+            # code then compiles and runs on a single real chip, which is
+            # how the multichip path is validated on hardware without a
+            # pod (scripts/validate_mesh_tpu.py).
             self.mesh = make_mesh(cfg.ipus, cfg.mesh_shape)
             logger().info("Device mesh: %s", dict(self.mesh.shape))
             self.scene = replicate(self.scene, self.mesh)
@@ -329,23 +334,18 @@ class PathTracerApp:
             # view with tensorboard / xprof.
             jax.profiler.start_trace(cfg.profile_dir)
             logger().info("Profiler trace -> '%s'", cfg.profile_dir)
-        if cfg.device_timing and self.mesh is not None:
-            logger().warning(
-                "--device-timing measures single-chip kernels and is "
-                "skipped with --ipus > 1; use --profile-dir for a mesh "
-                "trace."
-            )
-        if cfg.device_timing and self.mesh is None:
+        if cfg.device_timing:
             # Per-phase device-time split at the real render shape - the
             # analog of the reference's per-step cycle counters
-            # (PathTracerApp.cpp:438-462); see utils/devtime.py.
+            # (PathTracerApp.cpp:438-462); see utils/devtime.py.  On a
+            # mesh the sharded step is timed and reported per chip.
             from ..utils.devtime import log_phase_split, measure_phases
 
             with self.trace.span("device_timing"):
                 split = measure_phases(
                     self.scene, self.settings(self.samples_per_step),
                     self.static_config(), to_device_batch(balancer.work.active),
-                    key, self.env,
+                    key, self.env, mesh=self.mesh,
                 )
             log_phase_split(split)
         # Per-step key folding runs on the CPU backend: on the default
@@ -428,9 +428,14 @@ class PathTracerApp:
                         "path_trace", self.scene, settings, work_dev_resident,
                         step_key, self.env,
                     )
-                    records = None
+                    fetched = None
                     if step % cfg.save_interval == 0 or step == steps:
-                        records = from_device_batch(work_dev_resident)
+                        # Fetch the SoA batch as-is: the u16 wire record
+                        # clips sampleCount at 65535 while the resident
+                        # film's counts grow for the whole render, so the
+                        # film must accumulate from the int32 counts
+                        # (Film.accumulate_soa).
+                        fetched = jax.tree.map(np.asarray, work_dev_resident)
                     elif step % 16 == 0:
                         # Drain the dispatch queue: every enqueued step
                         # pre-allocates its 20 B/pixel output in HBM, so
@@ -442,7 +447,7 @@ class PathTracerApp:
                         # (~500 MB) for ~0.1 s per 43 s window.
                         with self.trace.span("queue_drain"):
                             float(work_dev_resident.r[0])
-                    df_dirty = records is None
+                    df_dirty = fetched is None
                 else:
                     work_dev = to_device_batch(balancer.work.active)
                     if self.mesh is not None:
@@ -479,11 +484,13 @@ class PathTracerApp:
                     with self.trace.span("ui_encode"):
                         ui_server.send_preview_image(ldr)
                     ui_server.update_progress(step, steps)
-                if records is not None:
-                    def device_film_processing(step=step, recs=records, ui=ui_server):
+                if fetched is not None:
+                    def device_film_processing(step=step, wb=fetched, ui=ui_server):
                         with self.trace.span("accumulate_framebuffers"):
                             film.reset()
-                            film.accumulate(recs)
+                            film.accumulate_soa(
+                                wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count
+                            )
                         if ui is not None:
                             ui.start_sending_raw_image(film.hdr_at_step(1))
                         else:
@@ -572,8 +579,22 @@ class PathTracerApp:
             # device-resident accumulation so no completed samples are
             # lost - the step-wise path's film is current every step.
             with self.trace.span("final_fetch"):
+                wb = jax.tree.map(np.asarray, work_dev_resident)
                 film.reset()
-                film.accumulate(from_device_batch(work_dev_resident))
+                film.accumulate_soa(wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count)
+            # An interrupted device-film render must still PERSIST the
+            # fetched samples (with a sparse save-interval everything
+            # since the last save would otherwise be discarded):
+            if ui_server is not None:
+                ui_server.start_sending_raw_image(film.hdr_at_step(1))
+            else:
+                with self.trace.span("save_images"):
+                    save_images(
+                        cfg.outfile,
+                        film.hdr_at_step(1),
+                        film.ldr(1, state["exposure"], state["gamma"]),
+                    )
+                    logger().info("Saved images at final device-film fetch")
         if cfg.profile_dir:
             jax.profiler.stop_trace()
         elapsed = time.monotonic() - start_time

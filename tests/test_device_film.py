@@ -176,6 +176,165 @@ def test_device_film_with_ui_preview(tmp_path):
         server.stop()
 
 
+def test_accumulate_soa_over_u16_counts():
+    """The device-film fetch math at >65535 samples/record: the int32
+    counts must be used as-is; the 20-byte wire record clips its u16
+    sampleCount and would brighten the result by total/65535."""
+    import jax.numpy as jnp
+
+    from ipu_path_trace_tpu.core.records import (
+        WorkBatch, from_device_batch,
+    )
+    from ipu_path_trace_tpu.film.film import Film
+
+    n, spp = 4, 100_000
+    u = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    v = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    mean = np.asarray([0.25, 0.5, 1.0], np.float32)
+    wb = WorkBatch(
+        u=u, v=v,
+        r=jnp.full((n,), float(mean[0]) * spp),
+        g=jnp.full((n,), float(mean[1]) * spp),
+        b=jnp.full((n,), float(mean[2]) * spp),
+        sample_count=jnp.full((n,), spp, jnp.int32),
+        path_length=jnp.full((n,), 3, jnp.int32),
+    )
+    film = Film(2, 2)
+    film.accumulate_soa(wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count)
+    np.testing.assert_allclose(
+        film.hdr_at_step(1), np.broadcast_to(mean, (2, 2, 3)), rtol=1e-6
+    )
+    # The wire record (tooling/UI interop only) clips - a film built
+    # through it is provably too bright, which is the r2 bug:
+    rec = from_device_batch(wb)
+    assert (rec["sampleCount"] == 0xFFFF).all()
+    film2 = Film(2, 2)
+    film2.accumulate(rec)
+    assert film2.hdr_at_step(1)[0, 0, 0] > mean[0] * 1.5
+
+
+def test_device_film_execute_over_u16(tmp_path):
+    """execute()'s device-film fetch at >65535 total spp, run with a
+    stubbed step program (tracing 65k+ real samples on CPU is minutes):
+    the saved film must hold the true per-pixel mean, not the u16-
+    clipped ~1.8x-brighter value."""
+    import jax.numpy as jnp
+
+    from ipu_path_trace_tpu.core.records import WorkBatch
+
+    cfg = Config(
+        outfile=str(tmp_path / "u16_exec.png"),
+        assets="constant:0.8,0.7,0.6",
+        width=4,
+        height=4,
+        samples=120000,
+        samples_per_step=40000,
+        save_interval=3,
+        seed=7,
+        device_film=True,
+    )
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+
+    mean = (0.3, 0.6, 0.9)
+
+    def fake_step(scene, settings, work, key, env):
+        sps = settings.samples_per_step
+        real = (work.u < cfg.width).astype(jnp.float32)
+        return WorkBatch(
+            u=work.u, v=work.v,
+            r=work.r + mean[0] * sps * real,
+            g=work.g + mean[1] * sps * real,
+            b=work.b + mean[2] * sps * real,
+            sample_count=work.sample_count + sps,
+            path_length=work.path_length + 2,
+        )
+
+    app.programs._programs["path_trace"] = fake_step  # test-only stub
+    film = app.execute()
+    hdr = film.hdr_at_step(1)
+    np.testing.assert_allclose(
+        hdr, np.broadcast_to(np.asarray(mean, np.float32), (4, 4, 3)),
+        rtol=1e-5,
+    )
+    assert (tmp_path / "u16_exec.png").exists()
+
+
+class _StubUI:
+    """Minimal in-process stand-in for InterfaceServer: requests a stop
+    after ``stop_after`` state polls and records everything sent."""
+
+    def __init__(self, stop_after: int):
+        self.stop_after = stop_after
+        self.polls = 0
+        self.raw_images = []
+        self.previews = 0
+
+    def state_changed(self):
+        self.polls += 1
+        return self.polls > self.stop_after
+
+    def consume_state(self):
+        return {"stop": True}
+
+    def get_state(self):
+        return {"exposure": 0.0, "gamma": 2.2}
+
+    def send_preview_image(self, ldr):
+        self.previews += 1
+
+    def update_progress(self, step, steps):
+        pass
+
+    def update_sample_rate(self, s, r):
+        pass
+
+    def start_sending_raw_image(self, hdr):
+        self.raw_images.append(np.array(hdr))
+
+
+def test_device_film_early_stop_persists_samples(tmp_path):
+    """A UI stop between sparse save-interval fetches must still flush
+    the device-resident accumulation (final fetch + raw image), not
+    silently discard every sample since the last save."""
+    cfg = Config(
+        outfile=str(tmp_path / "early_stop.png"),
+        assets="constant:0.6,0.5,0.4",
+        width=8,
+        height=8,
+        samples=40,
+        samples_per_step=2,
+        interactive_samples=2,
+        save_interval=100,  # never reached before the stop
+        seed=9,
+        device_film=True,
+    )
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    ui = _StubUI(stop_after=4)
+    film = app.execute(ui_server=ui)
+    assert len(ui.raw_images) == 1, "final fetch must push the raw HDR image"
+    hdr = ui.raw_images[0]
+    assert np.isfinite(hdr).all() and hdr.max() > 0
+    # The in-memory film carries the fetched accumulation too:
+    np.testing.assert_allclose(film.hdr_at_step(1), hdr)
+
+
+def test_raster_permutation_rejects_bad_worklists():
+    from ipu_path_trace_tpu.core.records import make_worklist, raster_permutation
+
+    wl = make_worklist(4, 4)
+    raster_permutation(wl, 4, 4)  # valid permutation passes
+    wl["u"][1] = wl["u"][0]  # duplicate pixel 0, drop pixel 1
+    wl["v"][1] = wl["v"][0]
+    with pytest.raises(ValueError, match="not a pixel permutation"):
+        raster_permutation(wl, 4, 4)
+    with pytest.raises(ValueError, match="not a pixel permutation"):
+        raster_permutation(make_worklist(4, 4), 4, 5)  # mismatched shape
+
+
 def test_device_film_rejects_load_balancing():
     cfg = Config(
         outfile="x.png", assets="constant:1,1,1",
