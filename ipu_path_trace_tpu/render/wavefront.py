@@ -214,6 +214,36 @@ def bounce_body(
     )
 
 
+def sample_noise(skey: jax.Array, n: int, cfg: StaticConfig) -> jnp.ndarray:
+    """(4 + 4L, n) noise for one sample in the Pallas kernels' host-noise
+    layout: [0:2] AA jitter (already distributed), [2:4] lens uniforms,
+    [4+4b:8+4b] bounce-b uniforms.
+
+    Drawn with the exact fold_in schedule of trace_one_sample's XLA
+    branch, so host-noise kernel runs replay the same streams.
+    """
+    aa = aa_noise(jax.random.fold_in(skey, AA_TAG), (2, n), cfg.aa_noise_type)
+    lens = jax.random.uniform(jax.random.fold_in(skey, LENS_TAG), (2, n))
+    bounce = [bounce_uniforms(skey, b, n) for b in range(cfg.max_path_length)]
+    return jnp.concatenate([aa, lens, *bounce], axis=0)
+
+
+def step_noise(step_key: jax.Array, n: int, cfg: StaticConfig) -> jnp.ndarray:
+    """(S, 4 + 4L, n) host noise for cfg.pallas_interpret samples."""
+    return jnp.stack(
+        [
+            sample_noise(sample_key(step_key, s), n, cfg)
+            for s in range(cfg.pallas_interpret)
+        ]
+    )
+
+
+# Interpret-mode Pallas blocks stay small: block size only affects
+# padding waste in host-noise mode (per-block PRNG seeding is off), and
+# the tests' mesh shards are tiny.
+_INTERPRET_BLOCK = 256
+
+
 def trace_sample_with_uniforms(
     scene: Scene,
     settings: RenderSettings,
@@ -252,20 +282,33 @@ def trace_one_sample(
     """Trace one sample per worklist entry; returns (radiance, path_len)."""
     n = cols.shape[0]
 
-    pallas_on = cfg.use_pallas and jax.default_backend() == "tpu"
+    interp = cfg.pallas_interpret > 0 and jax.default_backend() != "tpu"
+    pallas_on = cfg.use_pallas and (jax.default_backend() == "tpu" or interp)
     if pallas_on:
         # Fused megakernel: per-ray state stays in VMEM for the whole
         # bounce loop (ops/trace_pallas.py).  Seeded per sample from the
-        # fold_in key so samples stay independent.
+        # fold_in key so samples stay independent.  Interpret mode has no
+        # hardware PRNG; it consumes host noise replaying the XLA
+        # branch's streams instead (sample_noise).
         from ..ops.trace_pallas import trace_sample_pallas
 
-        seed = jax.random.bits(skey, (2,), jnp.uint32).astype(jnp.int32)
-        state = trace_sample_pallas(
-            scene, settings, cols, rows, seed,
-            width=cfg.width, height=cfg.height,
-            max_path_length=cfg.max_path_length,
-            aa_noise_type=cfg.aa_noise_type,
-        )
+        if interp:
+            state = trace_sample_pallas(
+                scene, settings, cols, rows,
+                noise=sample_noise(skey, n, cfg),
+                width=cfg.width, height=cfg.height,
+                max_path_length=cfg.max_path_length,
+                aa_noise_type=cfg.aa_noise_type,
+                block_size=_INTERPRET_BLOCK, interpret=True,
+            )
+        else:
+            seed = jax.random.bits(skey, (2,), jnp.uint32).astype(jnp.int32)
+            state = trace_sample_pallas(
+                scene, settings, cols, rows, seed,
+                width=cfg.width, height=cfg.height,
+                max_path_length=cfg.max_path_length,
+                aa_noise_type=cfg.aa_noise_type,
+            )
     else:
         # --- ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
         kaa = jax.random.fold_in(skey, AA_TAG)
@@ -294,9 +337,15 @@ def trace_one_sample(
         # (ops/nif_pallas._env_shade_kernel).
         from ..ops.nif_pallas import nif_env_shade_pallas
 
-        contribution = nif_env_shade_pallas(
-            env.params, state.esc_dir, state.esc_w, settings.azimuth
-        )
+        if interp:
+            contribution = nif_env_shade_pallas(
+                env.params, state.esc_dir, state.esc_w, settings.azimuth,
+                block_size=_INTERPRET_BLOCK, interpret=True,
+            )
+        else:
+            contribution = nif_env_shade_pallas(
+                env.params, state.esc_dir, state.esc_w, settings.azimuth
+            )
         return state.radiance + contribution, state.path_len
 
     u, v = equirect_uv(state.esc_dir, settings.azimuth)
@@ -330,27 +379,45 @@ def render_step_impl(
 
     from ..models.envlight import NifEnv
 
-    pallas_on = cfg.use_pallas and jax.default_backend() == "tpu"
+    interp = cfg.pallas_interpret > 0 and jax.default_backend() != "tpu"
+    pallas_on = cfg.use_pallas and (jax.default_backend() == "tpu" or interp)
     if pallas_on and cfg.use_fused_step and isinstance(env, NifEnv):
         # Fully fused step: the sample loop, the trace, and the NIF run
         # in ONE kernel, software-pipelined so the trace's VPU work hides
         # behind the NIF matmuls (ops/megastep_pallas.py docstring).
+        # Interpret mode (cfg.pallas_interpret > 0) runs the SAME kernel
+        # emulated on the host - including inside shard_map on the
+        # virtual CPU mesh - with host noise replaying the XLA branch's
+        # streams (no hardware PRNG in interpret mode).
         from ..ops.megastep_pallas import render_megastep_pallas
 
-        seed = jax.random.bits(step_key, (2,), jnp.uint32).astype(jnp.int32)
-        out = render_megastep_pallas(
-            scene, settings, env.params, cols, rows, seed,
-            width=cfg.width, height=cfg.height,
-            max_path_length=cfg.max_path_length,
-            aa_noise_type=cfg.aa_noise_type,
-        )
+        if interp:
+            out = render_megastep_pallas(
+                scene, settings, env.params, cols, rows,
+                noise=step_noise(step_key, cols.shape[0], cfg),
+                width=cfg.width, height=cfg.height,
+                max_path_length=cfg.max_path_length,
+                aa_noise_type=cfg.aa_noise_type,
+                block_size=_INTERPRET_BLOCK, interpret=True,
+            )
+            spp = jnp.int32(cfg.pallas_interpret)
+        else:
+            seed = jax.random.bits(step_key, (2,), jnp.uint32).astype(jnp.int32)
+            out = render_megastep_pallas(
+                scene, settings, env.params, cols, rows, seed,
+                width=cfg.width, height=cfg.height,
+                max_path_length=cfg.max_path_length,
+                aa_noise_type=cfg.aa_noise_type,
+                stub=cfg.megastep_stub or None,
+            )
+            spp = settings.samples_per_step
         return WorkBatch(
             u=work.u,
             v=work.v,
             r=work.r + out.radiance.x,
             g=work.g + out.radiance.y,
             b=work.b + out.radiance.z,
-            sample_count=work.sample_count + settings.samples_per_step,
+            sample_count=work.sample_count + spp,
             path_length=work.path_length + out.path_len,
         )
 
