@@ -64,8 +64,24 @@ def main() -> None:
     print(f"tunnel warmup: {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     scene = default_scene()
-    weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
-    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    # Trained weights (assets/procedural_sky_nif, canonical 6x320 arch
+    # with the 368-wide skip concat - byte-identical compute to the
+    # reference's urban_alley class); synthetic fallback keeps the bench
+    # runnable from a bare checkout:
+    import os
+
+    asset_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "assets", "procedural_sky_nif")
+    try:
+        from ipu_path_trace_tpu.models.nif import load_nif_assets
+
+        params, _meta, _w = load_nif_assets(asset_dir, jnp.bfloat16)
+        print(f"bench NIF: trained ({asset_dir})", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - fall back, report why
+        print(f"bench NIF: synthetic fallback ({e})", file=sys.stderr)
+        weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
+        params = make_params(weights, meta, jnp.bfloat16)
+    env = NifEnv(params=params)
     cfg = StaticConfig(width=WIDTH, height=HEIGHT)
     settings = RenderSettings.make(samples_per_step=SAMPLES_PER_STEP)
     work = to_device_batch(make_worklist(WIDTH, HEIGHT))
@@ -107,7 +123,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "Mpaths/sec/chip at 1104x1000 urban_alley-class NIF scene",
+                "metric": "Mpaths/sec/chip at 1104x1000, trained 6x320 NIF env",
                 "value": round(mpaths_per_sec, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(mpaths_per_sec / BASELINE_MPATHS, 4),

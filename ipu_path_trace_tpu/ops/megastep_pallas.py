@@ -66,16 +66,37 @@ class MegaStepOut(NamedTuple):
     path_len: jnp.ndarray  # int32 path-length sum
 
 
+def _stub_nif_layer(x, feats, w_ref, b_ref, is_last: bool, upcast_dot=False):
+    """Measurement stub (stub='nif'): same shapes/dtypes, ~no FLOPs.
+
+    Used by the --device-timing in-kernel split (utils/devtime.py): the
+    fused kernel minus its NIF matmuls isolates the trace component, the
+    cycle-counter analog of the reference's split counters
+    (src/PathTracerApp.cpp:438-462)."""
+    out_dim = w_ref.shape[0]
+    y = (x[:1] * 0.0 + 1.0).repeat(out_dim, axis=0)
+    return y.astype(jnp.float32 if is_last else x.dtype)
+
+
+def _stub_bounce(sph_ref, dsc_ref, num_s, num_d, st, rr, u1, u2, fr, b,
+                 refr, stop, roul):
+    """Measurement stub (stub='trace'): keeps the carry structure (and a
+    data dependence on the bounce uniforms so nothing dead-codes) while
+    doing ~no intersection/BSDF work."""
+    return st._replace(path_len=st.path_len + (rr < 2.0).astype(jnp.int32))
+
+
 def _env_contrib(ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs,
-                 embedding_dim: int, upcast_dot: bool = False):
+                 embedding_dim: int, upcast_dot: bool = False,
+                 layer_fn=nif_layer):
     """Escaped-ray env shade: equirect -> NIF chain -> weighted rgb."""
     num_layers = len(w_refs)
     u, v = equirect_from_dir(ex, ey, ez, scal_ref[0, 5])
     feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
     x = feats
     for i in range(num_layers):
-        x = nif_layer(x, feats, w_refs[i], b_refs[i], i == num_layers - 1,
-                      upcast_dot)
+        x = layer_fn(x, feats, w_refs[i], b_refs[i], i == num_layers - 1,
+                     upcast_dot)
     out = nif_decode(x, scal_ref)  # (3, B), network (bgr) channel order
     # bgr -> rgb flip + throughput weights (codelets.cpp:377-378):
     return wx * out[2], wy * out[1], wz * out[0]
@@ -93,6 +114,7 @@ def _kernel(
     host_samples: int,  # 0 = hardware PRNG; >0 = host-noise parity mode
     upcast_dot: bool,  # interpret mode: f32 dots (nif_pallas.nif_layer)
     split_point: int | None,  # early-out split bounce; None = default formula
+    stub: str | None,  # None | 'nif' | 'trace' | 'both' (devtime split)
     # refs:
     fpar_ref,  # SMEM (1, 8) f32
     ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed0 seed1 n_samples
@@ -125,6 +147,8 @@ def _kernel(
     if not host_samples:
         pltpu.prng_seed(ipar_ref[0, 1], ipar_ref[0, 2] + pl.program_id(0))
     uniforms = make_uniform_fn(n)
+    layer_fn = _stub_nif_layer if stub in ("nif", "both") else nif_layer
+    bounce_fn = _stub_bounce if stub in ("trace", "both") else bounce_once
 
     # Layer i of the PREVIOUS sample's NIF runs after bounce schedule[i]
     # of the CURRENT sample's trace - MXU and VPU work interleave so the
@@ -166,7 +190,7 @@ def _kernel(
         # blocked the dead-block early-out below.
         cr, cg, cb = _env_contrib(
             ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
-            upcast_dot,
+            upcast_dot, layer_fn,
         )
 
         def bounce_rnd(b):
@@ -176,7 +200,7 @@ def _kernel(
 
         def run_bounces(s, lo, hi):
             for b in range(lo, hi):
-                s = bounce_once(
+                s = bounce_fn(
                     sph_ref, dsc_ref, num_s, num_d, s, *bounce_rnd(b), b,
                     refr_index, stop_prob, roulette_depth,
                 )
@@ -238,7 +262,7 @@ def _kernel(
     # Epilogue: the LAST sample's escaped rays still need their env light.
     cr, cg, cb = _env_contrib(
         ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
-        upcast_dot,
+        upcast_dot, layer_fn,
     )
     acc_ref[:] = jnp.stack([ar + cr, ag + cg, ab + cb], axis=0)
     plen_ref[:] = apl.reshape(1, n)
@@ -248,7 +272,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "max_path_length", "aa_noise_type",
-        "block_size", "interpret", "split_point",
+        "block_size", "interpret", "split_point", "stub",
     ),
 )
 def render_megastep_pallas(
@@ -267,6 +291,7 @@ def render_megastep_pallas(
     block_size: int = 2048,  # 300-spp sweep: 2048 edges 1024/4096 by ~1%
     interpret: bool = False,
     split_point: int | None = None,  # probe knob (scripts/megastep_splitpoint)
+    stub: str | None = None,  # 'nif'/'trace'/'both': devtime in-kernel split
 ) -> MegaStepOut:
     """Render settings.samples_per_step samples of every pixel, fused.
 
@@ -363,7 +388,7 @@ def render_megastep_pallas(
         functools.partial(
             _kernel, num_s, num_d, max_path_length, num_layers,
             params.embedding_dim, width, height, aa_noise_type, host_samples,
-            interpret, split_point,
+            interpret, split_point, stub,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, n), jnp.float32),

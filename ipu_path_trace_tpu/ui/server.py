@@ -12,10 +12,13 @@ Behaviour parity notes:
   * fov arrives in degrees and stays degrees here (our app tracks
     degrees; the reference converts to radians on receipt because its
     app tracks radians - same semantics).
-  * preview frames are JPEG-compressed stills on the render_preview
-    channel (the reference uses an FFmpeg FMP4 stream via its videolib
-    submodule; frame-based JPEG keeps the channel semantics without a
-    hard FFmpeg dependency).
+  * render_preview carries a fragmented-MP4 video stream like the
+    reference's videolib output (InterfaceServer.hpp:100-108): H.264
+    via an ffmpeg subprocess when the binary exists, else the
+    dependency-free MJPEG-in-fMP4 muxer (ui/video.py).  Wire parity is
+    protocol-level (channel + ISO-BMFF framing), not byte-level.
+    Before initialise_video_stream() the channel falls back to plain
+    JPEG stills.
   * raw HDR transfer: one row per hdr_packet, 2 ms throttle
     (InterfaceServer.hpp:280-331).
 """
