@@ -48,15 +48,16 @@ def _time_scalar(fn, reps: int) -> float:
 
 
 def measure_phases(scene, settings, cfg, work, step_key, env, mesh=None,
-                   loop: int = 64, reps: int = 2) -> dict[str, float]:
+                   loop: int = 300, reps: int = 2) -> dict[str, float]:
     """Per-sample device time of each phase at the given shapes (ms).
 
     Returns {"step_ms", "mpaths_per_sec", ...}: for the fused production
     path also "trace_ms" / "env_ms" / "overhead_ms" from the in-kernel
     stub split; for unfused Pallas paths the standalone kernel times.
     ``loop`` samples run inside one dispatch so per-call host latency
-    (~10 ms through the tunnel) amortises to <2% of a step - the
-    headline Mpaths/s here reconciles with bench.py within noise.
+    (measured ~35 ms through the tunnel) amortises below 2% - at the
+    default 300 (the canonical step size) the headline Mpaths/s here
+    reconciles with bench.py within ~2%.
     """
     from ..models.envlight import NifEnv
     from ..render.wavefront import render_step_impl
