@@ -1,0 +1,136 @@
+"""NIF width sweep: train / PSNR / bench MXU-shaped widths.
+
+The canonical 320-wide NIF pads to 384 on the 128-lane MXU, wasting
+~17% of the dominant cost (docs/PERF.md roofline).  This sweep trains
+the alternatives with the SAME recipe on the same HDRI and measures the
+honest tradeoff (r3 verdict item 2):
+
+  256-wide  exactly 2x128: no padding, ~half the padded FLOPs of 320
+  320-wide  the reference's canonical width (pads to 384)
+  384-wide  exactly 3x128: same padded matmul shapes as 320 except the
+            skip layer (432 in -> pads 512 vs 368 -> 384), +20% capacity
+
+For each width: train on assets/procedural_sky.exr, PSNR of the
+reconstructed env map vs the source (log-radiance domain - the NIF's
+own target space; linear HDR PSNR is dominated by the sun disc), and
+the fused-megastep render rate at the canonical 1104x1000/300-spp shape.
+
+Run (TPU attached):  python scripts/nif_width_sweep.py [--epochs 300]
+Writes docs/NIF_WIDTHS.json and assets/nif_w{256,384}/ directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+WIDTH, HEIGHT = 1104, 1000
+SPP = 300
+
+
+def psnr_log(img: np.ndarray, ref: np.ndarray, eps: float = 1e-8) -> float:
+    """PSNR in the log-radiance domain (the NIF's training target)."""
+    a = np.log(np.maximum(img, 0.0) + eps)
+    b = np.log(np.maximum(ref, 0.0) + eps)
+    mse = float(np.mean((a - b) ** 2))
+    peak = float(b.max() - b.min())
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def bench_width(params) -> float:
+    """ms/sample of the fused megastep at the canonical shape."""
+    from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
+
+    scene = default_scene()
+    env = NifEnv(params=params)
+    cfg = StaticConfig(width=WIDTH, height=HEIGHT)
+    settings = RenderSettings.make(samples_per_step=SPP)
+    work = to_device_batch(make_worklist(WIDTH, HEIGHT))
+    sync = jax.jit(lambda w: w.r[0] + w.b[-1])
+
+    out = render_step(scene, settings, cfg, work, make_base_key(0), env)
+    float(sync(out))  # compile + warmup
+    t0 = time.monotonic()
+    reps = 3
+    for i in range(reps):
+        out = render_step(scene, settings, cfg, out, make_base_key(i + 1), env)
+    float(sync(out))
+    return (time.monotonic() - t0) / (reps * SPP) * 1e3
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--widths", type=int, nargs="*", default=[256, 320, 384])
+    p.add_argument("--skip-bench", action="store_true")
+    args = p.parse_args()
+
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.models.nif import make_params
+    from ipu_path_trace_tpu.models.reconstruct import reconstruct_image
+    from ipu_path_trace_tpu.models.train_nif import save_assets, train_nif
+
+    src = read_exr(os.path.join(REPO, "assets", "procedural_sky.exr"))
+    h, w = src.shape[:2]
+    print(f"source HDRI {w}x{h}, device {jax.devices()[0]}", file=sys.stderr)
+
+    results = []
+    for width in args.widths:
+        t0 = time.monotonic()
+        weights, meta, loss = train_nif(
+            src,
+            layer_size=width,
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            seed=0,
+            name=os.path.join(REPO, "assets", "procedural_sky.exr"),
+        )
+        train_s = time.monotonic() - t0
+        out_dir = os.path.join(REPO, "assets", f"nif_w{width}")
+        if width != 320:  # 320 already ships as procedural_sky_nif
+            save_assets(out_dir, weights, meta, [
+                "train_nif.py", "--layer-count", "6", "--layer-size",
+                str(width), "--embedding-dimension", "12",
+                "--epochs", str(args.epochs), "--input",
+                "assets/procedural_sky.exr",
+            ])
+        params = make_params(weights, meta, jnp.bfloat16)
+        recon = reconstruct_image(params, h, w)
+        q = psnr_log(recon, src)
+        ms = None if args.skip_bench else bench_width(params)
+        entry = {
+            "width": width,
+            "final_loss": loss,
+            "psnr_log_db": round(q, 2),
+            "ms_per_sample": None if ms is None else round(ms, 3),
+            "mpaths_per_sec": None if ms is None else round(WIDTH * HEIGHT / ms / 1e3, 1),
+            "train_seconds": round(train_s, 1),
+            "epochs": args.epochs,
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+
+    out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

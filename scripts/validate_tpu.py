@@ -50,24 +50,64 @@ def render(use_pallas: bool, seed: int, width, height, spp):
     return film.hdr_at_step(1)
 
 
+def render_texture(use_pallas: bool, seed: int, width, height, spp):
+    """Texture-env render at the canonical resolution: exercises the
+    Pallas trace megakernel (the texture lookup itself is XLA) at
+    1104x1000 - BASELINE config 2's scale."""
+    import os
+
+    from ipu_path_trace_tpu.core.records import (
+        from_device_batch, make_worklist, to_device_batch,
+    )
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.film.film import Film
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.models.envlight import TextureEnv
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    tex = read_exr(os.path.join(repo, "assets", "procedural_sky.exr"))
+    env = TextureEnv(texture=jnp.asarray(tex))
+    cfg = StaticConfig(width=width, height=height, use_pallas=use_pallas)
+    settings = RenderSettings.make(samples_per_step=spp)
+    work = to_device_batch(make_worklist(width, height))
+    out = render_step(
+        default_scene(), settings, cfg, work,
+        make_base_key(seed, "rbg" if use_pallas else "threefry2x32"), env,
+    )
+    film = Film(width, height)
+    film.accumulate(from_device_batch(out))
+    return film.hdr_at_step(1)
+
+
 def rmse(a, b):
     scale = max(np.abs(a).max(), np.abs(b).max(), 1e-9)
     return float(np.sqrt(np.mean((a - b) ** 2)) / scale)
 
 
-def main() -> int:
-    width = height = 128
-    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    print(f"device: {jax.devices()[0]}  {width}x{height} @ {spp} spp")
-    xla_a = render(False, 1, width, height, spp)
-    xla_b = render(False, 2, width, height, spp)
-    pallas = render(True, 3, width, height, spp)
+def _check(name, render_fn, width, height, spp) -> bool:
+    print(f"[{name}] {width}x{height} @ {spp} spp")
+    xla_a = render_fn(False, 1, width, height, spp)
+    xla_b = render_fn(False, 2, width, height, spp)
+    pallas = render_fn(True, 3, width, height, spp)
     floor = rmse(xla_a, xla_b)
     cross = rmse(xla_a, pallas)
-    print(f"MC noise floor (xla vs xla, indep seeds): {floor:.5f}")
-    print(f"pallas vs xla                           : {cross:.5f}")
+    print(f"[{name}] MC noise floor (xla vs xla, indep seeds): {floor:.5f}")
+    print(f"[{name}] pallas vs xla                           : {cross:.5f}")
     ok = cross < 1.5 * floor + 1e-4
-    print("PASS" if ok else "FAIL (pallas path biased vs XLA)")
+    print(f"[{name}] {'PASS' if ok else 'FAIL (pallas path biased vs XLA)'}")
+    return ok
+
+
+def main() -> int:
+    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    print(f"device: {jax.devices()[0]}")
+    ok = _check("nif-env", render, 128, 128, spp)
+    # Texture env at the canonical 1104x1000 (fewer spp: 3 full-res
+    # renders; the floor scales to the sample count identically):
+    ok &= _check("texture-env-1104x1000", render_texture, 1104, 1000,
+                 max(16, spp // 8))
     return 0 if ok else 1
 
 

@@ -1,0 +1,49 @@
+"""CI coverage of the RMSE artifact pipeline (scripts/validate_rmse.py).
+
+The checked-in docs/RMSE.json entries are produced by the same
+run_config() driven here, so the artifact path cannot silently rot
+(r3 verdict item 8).  The north-star config (64x64 @ 1000 spp, the
+"<= 1e-3 at 1k spp" BASELINE criterion) runs in full, marked slow.
+"""
+
+import importlib.util
+import os
+import pathlib
+
+import pytest
+
+_SCRIPT = pathlib.Path(__file__).parent.parent / "scripts" / "validate_rmse.py"
+
+
+def _load_module():
+    spec = importlib.util.spec_from_file_location("validate_rmse", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_north_star_rmse_at_1k_spp():
+    mod = _load_module()
+    entry = mod.run_config("north_star")
+    assert entry["pass"], entry
+    assert entry["rmse"] <= 1e-3
+    assert entry["spp"] == 1000 and entry["width"] == 64
+
+
+def test_rmse_config_list_covers_baseline():
+    """Every BASELINE accuracy config has a runnable entry, and the
+    checked-in artifact (when present) covers them all with passes."""
+    mod = _load_module()
+    assert set(mod.CONFIGS) == {
+        "north_star", "config1_diffuse", "config2_texture", "config3_nif"
+    }
+    artifact = _SCRIPT.parent.parent / "docs" / "RMSE.json"
+    if artifact.exists():
+        import json
+
+        entries = json.load(open(artifact))
+        by_name = {e["config"]: e for e in entries}
+        for name in mod.CONFIGS:
+            assert name in by_name, f"docs/RMSE.json missing {name}"
+            assert by_name[name]["pass"], by_name[name]
