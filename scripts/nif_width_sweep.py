@@ -126,8 +126,17 @@ def main() -> int:
         print(json.dumps(entry))
 
     out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
+    merged: dict[int, dict] = {}
+    if os.path.exists(out_path):
+        try:
+            for e in json.load(open(out_path)):
+                merged[int(e["width"])] = e
+        except (ValueError, KeyError):
+            pass
+    for e in results:
+        merged[int(e["width"])] = e
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump([merged[k] for k in sorted(merged)], f, indent=2)
     print(f"wrote {out_path}", file=sys.stderr)
     return 0
 
