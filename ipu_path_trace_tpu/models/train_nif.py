@@ -81,6 +81,7 @@ def train_nif(
     batch_size: int = 16384,
     train_samples: int | None = None,
     learning_rate: float = 1e-3,
+    cosine_decay: bool = False,  # cosine-decay lr over the whole run
     eps: float = 1e-8,
     log_tone_map: bool = True,
     seed: int = 0,
@@ -113,7 +114,16 @@ def train_nif(
     key = jax.random.key(seed)
     key, init_key = jax.random.split(key)
     params = _init_params(init_key, dims)
-    tx = optax.adam(learning_rate)
+    steps_per_epoch_sched = max(1, train_samples // batch_size)
+    if cosine_decay:
+        # Cosine-decay to ~1% of the peak lr over the whole run: Adam at
+        # a fixed lr plateaus well above the model's attainable loss.
+        lr = optax.cosine_decay_schedule(
+            learning_rate, epochs * steps_per_epoch_sched, alpha=0.01
+        )
+    else:
+        lr = learning_rate
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     def loss_fn(params, uv_batch, y_batch):
@@ -180,6 +190,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=16384)
     p.add_argument("--train-samples", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--cosine-decay", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -205,6 +216,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         train_samples=args.train_samples,
         learning_rate=args.learning_rate,
+        cosine_decay=args.cosine_decay,
         seed=args.seed,
         name=os.path.abspath(args.input),
     )

@@ -78,6 +78,7 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=65536)
     p.add_argument("--widths", type=int, nargs="*", default=[256, 320, 384])
     p.add_argument("--skip-bench", action="store_true")
+    p.add_argument("--cosine-decay", action="store_true")
     args = p.parse_args()
 
     from ipu_path_trace_tpu.film.imageio import read_exr
@@ -97,6 +98,7 @@ def main() -> int:
             layer_size=width,
             epochs=args.epochs,
             batch_size=args.batch_size,
+            cosine_decay=args.cosine_decay,
             seed=0,
             name=os.path.join(REPO, "assets", "procedural_sky.exr"),
         )
@@ -121,6 +123,7 @@ def main() -> int:
             "mpaths_per_sec": None if ms is None else round(WIDTH * HEIGHT / ms / 1e3, 1),
             "train_seconds": round(train_s, 1),
             "epochs": args.epochs,
+            "cosine_decay": args.cosine_decay,
         }
         results.append(entry)
         print(json.dumps(entry))
