@@ -148,8 +148,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "Mpaths/sec/chip at 1104x1000, trained 6x192 NIF "
-                          "env (reconstruction PSNR 53.6 dB > canonical "
-                          "6x320's; see docs/NIF_WIDTHS.json)",
+                          "env (reconstruction PSNR 59.6 dB > canonical "
+                          "6x320's 59.2 at matched recipe; "
+                          "docs/NIF_WIDTHS.json)",
                 "value": round(headline, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(headline / BASELINE_MPATHS, 4),
