@@ -1,4 +1,8 @@
-"""Block-size sweep for the fused megastep kernel."""
+"""Block-size sweep for the fused megastep kernel.
+
+Optional argv: NIF assets dir and block list, e.g.
+  python scripts/megastep_blocks.py assets/nif_w192 512 1024 2048 4096
+"""
 
 from __future__ import annotations
 
@@ -24,14 +28,22 @@ def main():
     from ipu_path_trace_tpu.render.params import RenderSettings
 
     scene = default_scene()
-    weights, meta = make_synthetic_nif(key=0)
-    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+        from ipu_path_trace_tpu.models.nif import load_nif_assets
+
+        params, _m, _w = load_nif_assets(sys.argv[1], jnp.bfloat16)
+        print(f"assets: {sys.argv[1]}")
+    else:
+        weights, meta = make_synthetic_nif(key=0)
+        params = make_params(weights, meta, jnp.bfloat16)
+    env = NifEnv(params=params)
+    blocks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1024, 2048, 4096, 8192]
     work = to_device_batch(make_worklist(WIDTH, HEIGHT))
     settings = RenderSettings.make(samples_per_step=LOOP)
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
 
-    for bs in (1024, 2048, 4096, 8192):
+    for bs in blocks:
         def step(i, bs=bs):
             out = render_megastep_pallas.__wrapped__(
                 scene, settings, env.params, cols, rows,
