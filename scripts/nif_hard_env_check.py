@@ -1,0 +1,119 @@
+"""Does the width rule survive a HARD environment?
+
+The shipped width decision (6x192 default) was made on the bundled
+procedural sky - a smooth 256x512 HDRI.  This check generates a much
+harder equirect environment (1024x2048, multi-octave value noise with
+sharp HDR light blobs - urban-alley-class frequency content), trains
+each width with the matched recipe, and reports PSNR.  If narrow widths
+lose their advantage here, that is the documented boundary of the rule:
+pick width per asset with scripts/nif_width_sweep.py, which is the
+reference's own workflow (--layer-size lives in the asset metadata,
+NifMetaData.cpp:56-64).
+
+Run (TPU):  python scripts/nif_hard_env_check.py [--epochs 6000]
+Appends a "hard_env" section to docs/NIF_WIDTHS.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+
+def make_hard_env(height: int = 1024, width: int = 2048, seed: int = 3) -> np.ndarray:
+    """Multi-octave value noise + sharp HDR emitters, tonally like a
+    city HDRI: broad dim structure plus small very bright sources."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((height, width, 3), np.float64)
+    # Octaves of upsampled noise (bilinear) - sharp local contrast:
+    for octave, amp in ((8, 0.6), (32, 0.5), (128, 0.4), (512, 0.3)):
+        for c in range(3):
+            coarse = rng.random((octave, octave * 2))
+            ys = np.linspace(0, octave - 1, height)
+            xs = np.linspace(0, octave * 2 - 1, width)
+            y0 = np.floor(ys).astype(int); x0 = np.floor(xs).astype(int)
+            y1 = np.minimum(y0 + 1, octave - 1)
+            x1 = np.minimum(x0 + 1, octave * 2 - 1)
+            fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
+            up = (coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+                  + coarse[np.ix_(y1, x0)] * fy * (1 - fx)
+                  + coarse[np.ix_(y0, x1)] * (1 - fy) * fx
+                  + coarse[np.ix_(y1, x1)] * fy * fx)
+            img[..., c] += amp * up
+    img = np.maximum(img, 1e-3) ** 2.2  # deepen contrast
+    # Sharp HDR emitters (sun/street lights):
+    yy, xx = np.mgrid[0:height, 0:width]
+    for _ in range(24):
+        cy, cx = rng.integers(0, height), rng.integers(0, width)
+        sigma = rng.uniform(1.5, 6.0)
+        power = rng.uniform(50.0, 800.0)
+        colour = rng.uniform(0.4, 1.0, 3)
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        img += (power * np.exp(-d2 / (2 * sigma * sigma)))[..., None] * colour
+    return img.astype(np.float32)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=6000)
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--widths", type=int, nargs="*", default=[192, 256, 320])
+    args = p.parse_args()
+
+    from ipu_path_trace_tpu.models.nif import make_params
+    from ipu_path_trace_tpu.models.reconstruct import reconstruct_image
+    from ipu_path_trace_tpu.models.train_nif import train_nif
+    from scripts.nif_width_sweep import psnr_log  # same metric
+
+    src = make_hard_env()
+    h, w = src.shape[:2]
+    print(f"hard env {w}x{h}, dyn range {src.min():.3g}..{src.max():.3g}",
+          file=sys.stderr)
+
+    results = []
+    for width in args.widths:
+        t0 = time.monotonic()
+        weights, meta, loss = train_nif(
+            src, layer_size=width, epochs=args.epochs,
+            batch_size=args.batch_size, cosine_decay=True, seed=0,
+            # Matched OPTIMIZER budget with the sky recipe (2 steps/epoch
+            # regardless of image size - 12k steps at 6000 epochs):
+            train_samples=2 * args.batch_size,
+            name="hard_env_1024x2048",
+        )
+        params = make_params(weights, meta, jnp.bfloat16)
+        recon = reconstruct_image(params, h, w)
+        q = psnr_log(recon, src)
+        entry = {"width": width, "psnr_log_db": round(q, 2),
+                 "final_loss": loss,
+                 "train_seconds": round(time.monotonic() - t0, 1)}
+        results.append(entry)
+        print(json.dumps(entry))
+
+    out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
+    data = json.load(open(out_path))
+    if isinstance(data, list):
+        data = {"procedural_sky": data}
+    data["hard_env_1024x2048"] = {
+        "description": "multi-octave noise + 24 sharp HDR emitters "
+                       "(urban-alley-class frequency content); "
+                       "matched recipe, PSNR only",
+        "epochs": args.epochs,
+        "results": results,
+    }
+    json.dump(data, open(out_path, "w"), indent=2)
+    print(f"wrote {out_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

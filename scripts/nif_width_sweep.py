@@ -130,16 +130,23 @@ def main() -> int:
 
     out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
     merged: dict[int, dict] = {}
+    extra: dict = {}
     if os.path.exists(out_path):
         try:
-            for e in json.load(open(out_path)):
+            data = json.load(open(out_path))
+            if isinstance(data, dict):  # {"procedural_sky": [...], ...}
+                extra = {k: v for k, v in data.items() if k != "procedural_sky"}
+                data = data.get("procedural_sky", [])
+            for e in data:
                 merged[int(e["width"])] = e
         except (ValueError, KeyError):
             pass
     for e in results:
         merged[int(e["width"])] = e
+    table = [merged[k] for k in sorted(merged)]
     with open(out_path, "w") as f:
-        json.dump([merged[k] for k in sorted(merged)], f, indent=2)
+        json.dump({"procedural_sky": table, **extra} if extra else table,
+                  f, indent=2)
     print(f"wrote {out_path}", file=sys.stderr)
     return 0
 
