@@ -1,0 +1,44 @@
+"""Guard the shipped NIF assets: loadable, right architecture, sane env.
+
+The bench default (assets/nif_w192) and the other shipped widths are
+binary artifacts; this pins that they load through the reference-format
+parsers, carry the architecture their name claims, and decode to a
+physically sane sky (positive HDR radiance)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ASSETS = {
+    "procedural_sky_nif": 320,  # canonical reference architecture
+    "nif_w128": 128,
+    "nif_w192": 192,  # bench default
+    "nif_w256": 256,
+}
+
+
+@pytest.mark.parametrize("name,hidden", sorted(ASSETS.items()))
+def test_shipped_nif_asset(name, hidden):
+    from ipu_path_trace_tpu.models.nif import analyse_nif, load_nif_assets, nif_apply
+
+    params, meta, weights = load_nif_assets(
+        os.path.join(REPO, "assets", name), jnp.bfloat16
+    )
+    info = analyse_nif(weights, 1)
+    assert info["hidden_size"] == hidden
+    assert info["layers"] == 7  # 6 hidden + output
+    assert meta.embedding_dimension == 12
+    # Skip-concat layer present (the reference's width autodetect):
+    in_dims = [l.kernel.shape[0] for l in weights.layers]
+    assert in_dims.count(hidden + 48) == 1, in_dims
+    # Decodes to positive HDR radiance over a UV probe grid:
+    u = jnp.linspace(0.05, 0.95, 64)
+    v = jnp.linspace(0.05, 0.95, 64)
+    out = np.asarray(nif_apply(params, u, v))
+    assert np.isfinite(out).all()
+    assert out.min() > 0.0  # log-tone-mapped skies decode through exp()
+    assert out.max() < 1e5
