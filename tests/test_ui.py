@@ -154,13 +154,19 @@ def test_video_preview_stream(pair):
     server.send_preview_image(f1)
     if server._video.codec == "h264/fmp4":
         # Push padding frames so the encoder flushes the first two, then
-        # decode the received stream back to pixels:
-        def decoded():
-            server.send_preview_image(f1)
-            return _ffmpeg_decode_rgb(bytes(client.preview_stream), 16, 16)
+        # decode the received stream back to pixels (0.5 s cadence - a
+        # decode spawns an ffmpeg subprocess):
+        import time as _time
 
-        assert _wait(lambda: len(decoded()) >= 2, timeout=30)
-        imgs = _ffmpeg_decode_rgb(bytes(client.preview_stream), 16, 16)
+        imgs = []
+        deadline = _time.monotonic() + 30.0
+        while _time.monotonic() < deadline:
+            server.send_preview_image(f1)
+            _time.sleep(0.5)
+            imgs = _ffmpeg_decode_rgb(bytes(client.preview_stream), 16, 16)
+            if len(imgs) >= 2:
+                break
+        assert len(imgs) >= 2, "H.264 stream did not decode to 2 frames"
     else:
         assert _wait(lambda: len(client.preview_images()) >= 2)
         imgs = client.preview_images()
