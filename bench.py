@@ -55,19 +55,27 @@ def _retry_transient(fn):
 
 
 def _load_env(asset_dir: str):
+    """Returns (env, description) - the description states what actually
+    loaded, so the metric line can never misattribute a fallback."""
     from ipu_path_trace_tpu.models.envlight import NifEnv
     from ipu_path_trace_tpu.models.nif import (
-        load_nif_assets, make_params, make_synthetic_nif,
+        analyse_nif, load_nif_assets, make_params, make_synthetic_nif,
     )
 
     try:
-        params, _meta, _w = load_nif_assets(asset_dir, jnp.bfloat16)
-        print(f"bench NIF: trained ({asset_dir})", file=sys.stderr)
+        params, _meta, weights = load_nif_assets(asset_dir, jnp.bfloat16)
+        width = analyse_nif(weights, 1)["hidden_size"]
+        desc = f"trained 6x{width} NIF env"
+        if width == 192:
+            desc += (" (reconstruction PSNR 59.6 dB > canonical 6x320's "
+                     "59.2 at matched recipe; docs/NIF_WIDTHS.json)")
+        print(f"bench NIF: {desc} ({asset_dir})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - fall back, report why
-        print(f"bench NIF: synthetic 6x320 fallback ({e})", file=sys.stderr)
+        desc = "synthetic 6x320 NIF env (FALLBACK - trained asset failed to load)"
+        print(f"bench NIF: {desc}: {e}", file=sys.stderr)
         weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
         params = make_params(weights, meta, jnp.bfloat16)
-    return NifEnv(params=params)
+    return NifEnv(params=params), desc
 
 
 def _measure(label: str, env, scene, cfg, settings, work, sync) -> float:
@@ -128,15 +136,14 @@ def main() -> None:
     # before execution finishes; a scalar fetch is a reliable barrier.
     sync = jax.jit(lambda w: w.r[0] + w.b[-1])
 
-    env_tuned = _load_env(os.path.join(REPO, "assets", "nif_w192"))
-    headline = _measure("6x192 tuned", env_tuned, scene, cfg, settings, work,
-                        sync)
+    env_tuned, desc = _load_env(os.path.join(REPO, "assets", "nif_w192"))
+    headline = _measure("tuned", env_tuned, scene, cfg, settings, work, sync)
 
     # Canonical-width parity number (stderr only; same kernel, the
     # reference's 6x320 urban_alley-class architecture):
     try:
-        env_canon = _load_env(os.path.join(REPO, "assets",
-                                           "procedural_sky_nif"))
+        env_canon, _ = _load_env(os.path.join(REPO, "assets",
+                                              "procedural_sky_nif"))
         canon = _measure("6x320 canonical", env_canon, scene, cfg, settings,
                          work, sync)
         print(f"canonical 6x320 parity rate: {canon:.1f} Mpaths/s",
@@ -147,10 +154,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "Mpaths/sec/chip at 1104x1000, trained 6x192 NIF "
-                          "env (reconstruction PSNR 59.6 dB > canonical "
-                          "6x320's 59.2 at matched recipe; "
-                          "docs/NIF_WIDTHS.json)",
+                "metric": f"Mpaths/sec/chip at 1104x1000, {desc}",
                 "value": round(headline, 3),
                 "unit": "Mpaths/s",
                 "vs_baseline": round(headline / BASELINE_MPATHS, 4),

@@ -52,6 +52,26 @@ void pt_accumulate(const std::uint8_t* recordBytes, std::int64_t numRecords,
   }
 }
 
+// SoA variant of pt_accumulate for the device-film fetch path: sample
+// counts arrive as full-width int32 (the 20-byte wire record's u16
+// sampleCount clips at 65535, which a device-resident film exceeds).
+void pt_accumulate_soa(const std::int32_t* u, const std::int32_t* v,
+                       const float* r, const float* g, const float* b,
+                       const std::int32_t* sampleCount,
+                       std::int64_t numRecords, float* hdr,
+                       std::int32_t width, std::int32_t height) {
+#pragma omp parallel for schedule(static)
+  for (std::int64_t i = 0; i < numRecords; ++i) {
+    const std::int32_t ui = u[i], vi = v[i], c = sampleCount[i];
+    if (ui < 0 || ui >= width || vi < 0 || vi >= height || c <= 0) continue;
+    const float scale = 1.0f / static_cast<float>(c);
+    float* px = hdr + 3 * (static_cast<std::int64_t>(vi) * width + ui);
+    px[0] += r[i] * scale;
+    px[1] += g[i] * scale;
+    px[2] += b[i] * scale;
+  }
+}
+
 // out = clamp(pow(in * 2^exposure, 1/gamma), 0, 1) * 255
 void pt_tonemap(const float* hdr, std::uint8_t* out, std::int64_t n,
                 float exposure, float gamma) {

@@ -87,8 +87,14 @@ class Film:
         while a device-resident film accumulates counts for the whole
         render (the canonical 100k-spp run reaches ~100000
         samples/record), which would scale the saved image ~1.5x too
-        bright.  Same math as accumulate(), full-width counts.
+        bright.  Same math as accumulate(), full-width counts.  Uses
+        the OpenMP C++ kernel when built (csrc/pt_host.cpp
+        pt_accumulate_soa), NumPy fallback otherwise.
         """
+        from ..runtime import native
+
+        if native.accumulate_soa(u, v, r, g, b, sample_count, self.hdr):
+            return
         u = np.asarray(u).astype(np.int64)
         v = np.asarray(v).astype(np.int64)
         cnt = np.asarray(sample_count).astype(np.int64)

@@ -25,16 +25,16 @@ class StaticConfig(NamedTuple):
     # One-kernel-per-step fusion (sample loop + trace + NIF with VPU/MXU
     # overlap, ops/megastep_pallas.py); off = per-sample kernel pair:
     use_fused_step: bool = True
-    # Simulator override: > 0 runs the PRODUCTION Pallas kernels in
-    # interpret mode on any backend (the IPUModel analog for the kernel
-    # layer, reference: src/ipu_utils.hpp:78-86) - including inside
-    # shard_map on the virtual CPU mesh.  Interpret mode has no hardware
-    # PRNG, so the kernels run in host-noise mode with the value giving
-    # the STATIC per-step sample count (it overrides the dynamic
+    # Deterministic-replay override: > 0 runs the PRODUCTION Pallas
+    # kernels in host-noise mode with the value giving the STATIC
+    # per-step sample count (it overrides the dynamic
     # settings.samples_per_step; callers should keep the two equal).
-    # The noise is derived from the step key with the exact same
-    # fold_in schedule as the XLA wavefront path, so interpret renders
-    # replay the same streams the tests' oracles do.
+    # The noise is derived from the step key with the exact fold_in
+    # schedule of the XLA wavefront path, so renders replay the same
+    # streams the tests' oracles do - on ANY backend: the real kernel
+    # on TPU, the emulated (interpret) kernel elsewhere, including
+    # inside shard_map on the virtual CPU mesh (the IPUModel analog for
+    # the kernel layer, reference: src/ipu_utils.hpp:78-86).
     pallas_interpret: int = 0
     # Measurement-only knob for --device-timing's in-kernel phase split
     # (utils/devtime.py): '' = real kernel; 'nif' stubs the NIF matmuls,

@@ -282,24 +282,26 @@ def trace_one_sample(
     """Trace one sample per worklist entry; returns (radiance, path_len)."""
     n = cols.shape[0]
 
-    interp = cfg.pallas_interpret > 0 and jax.default_backend() != "tpu"
+    host_noise = cfg.pallas_interpret > 0
+    interp = host_noise and jax.default_backend() != "tpu"
     pallas_on = cfg.use_pallas and (jax.default_backend() == "tpu" or interp)
     if pallas_on:
         # Fused megakernel: per-ray state stays in VMEM for the whole
         # bounce loop (ops/trace_pallas.py).  Seeded per sample from the
-        # fold_in key so samples stay independent.  Interpret mode has no
-        # hardware PRNG; it consumes host noise replaying the XLA
-        # branch's streams instead (sample_noise).
+        # fold_in key so samples stay independent.  Host-noise mode
+        # (cfg.pallas_interpret > 0) replays the XLA branch's streams:
+        # the real kernel on TPU, the emulated kernel elsewhere.
         from ..ops.trace_pallas import trace_sample_pallas
 
-        if interp:
+        if host_noise:
             state = trace_sample_pallas(
                 scene, settings, cols, rows,
                 noise=sample_noise(skey, n, cfg),
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
-                block_size=_INTERPRET_BLOCK, interpret=True,
+                block_size=_INTERPRET_BLOCK if interp else 4096,
+                interpret=interp,
             )
         else:
             seed = jax.random.bits(skey, (2,), jnp.uint32).astype(jnp.int32)
@@ -379,26 +381,29 @@ def render_step_impl(
 
     from ..models.envlight import NifEnv
 
-    interp = cfg.pallas_interpret > 0 and jax.default_backend() != "tpu"
+    host_noise = cfg.pallas_interpret > 0
+    interp = host_noise and jax.default_backend() != "tpu"
     pallas_on = cfg.use_pallas and (jax.default_backend() == "tpu" or interp)
     if pallas_on and cfg.use_fused_step and isinstance(env, NifEnv):
         # Fully fused step: the sample loop, the trace, and the NIF run
         # in ONE kernel, software-pipelined so the trace's VPU work hides
         # behind the NIF matmuls (ops/megastep_pallas.py docstring).
-        # Interpret mode (cfg.pallas_interpret > 0) runs the SAME kernel
-        # emulated on the host - including inside shard_map on the
-        # virtual CPU mesh - with host noise replaying the XLA branch's
-        # streams (no hardware PRNG in interpret mode).
+        # cfg.pallas_interpret > 0 switches to host-noise mode replaying
+        # the XLA branch's exact streams: on TPU the REAL kernel runs
+        # (deterministic cross-backend replay on hardware); elsewhere
+        # the same kernel runs emulated (interpret) - including inside
+        # shard_map on the virtual CPU mesh.
         from ..ops.megastep_pallas import render_megastep_pallas
 
-        if interp:
+        if host_noise:
             out = render_megastep_pallas(
                 scene, settings, env.params, cols, rows,
                 noise=step_noise(step_key, cols.shape[0], cfg),
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
-                block_size=_INTERPRET_BLOCK, interpret=True,
+                block_size=_INTERPRET_BLOCK if interp else 2048,
+                interpret=interp,
             )
             spp = jnp.int32(cfg.pallas_interpret)
         else:

@@ -55,6 +55,12 @@ def _load():
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.pt_accumulate.argtypes = [u8p, ctypes.c_int64, f32p, ctypes.c_int32, ctypes.c_int32]
         lib.pt_accumulate.restype = None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.pt_accumulate_soa.argtypes = [
+            i32p, i32p, f32p, f32p, f32p, i32p,
+            ctypes.c_int64, f32p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.pt_accumulate_soa.restype = None
         lib.pt_tonemap.argtypes = [f32p, u8p, ctypes.c_int64, ctypes.c_float, ctypes.c_float]
         lib.pt_tonemap.restype = None
         lib.pt_clear_and_sum_pathlengths.argtypes = [u8p, ctypes.c_int64]
@@ -81,6 +87,29 @@ def accumulate(records: np.ndarray, hdr: np.ndarray) -> bool:
         hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hdr.shape[1],
         hdr.shape[0],
+    )
+    return True
+
+
+def accumulate_soa(u, v, r, g, b, sample_count, hdr: np.ndarray) -> bool:
+    """Device-film fetch accumulation with int32 counts; False if no lib."""
+    lib = _load()
+    if lib is None:
+        return False
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    u, v, cnt = i32(u), i32(v), i32(sample_count)
+    r, g, b = f32(r), f32(g), f32(b)
+    assert hdr.flags["C_CONTIGUOUS"] and hdr.dtype == np.float32
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.pt_accumulate_soa(
+        u.ctypes.data_as(i32p), v.ctypes.data_as(i32p),
+        r.ctypes.data_as(f32p), g.ctypes.data_as(f32p),
+        b.ctypes.data_as(f32p), cnt.ctypes.data_as(i32p),
+        len(u),
+        hdr.ctypes.data_as(f32p),
+        hdr.shape[1], hdr.shape[0],
     )
     return True
 

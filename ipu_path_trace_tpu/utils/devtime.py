@@ -65,6 +65,10 @@ def measure_phases(scene, settings, cfg, work, step_key, env, mesh=None,
     n_pixels = int(work.u.shape[0])
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     fused = use_pallas and cfg.use_fused_step and isinstance(env, NifEnv)
+    # Paths per dispatched sample: a samples mesh axis renders the same
+    # pixels on every replica (combined spp = per-chip spp * axis size,
+    # parallel/mesh.sharded_render_step):
+    sample_replicas = mesh.shape["samples"] if mesh is not None else 1
     out: dict[str, float] = {}
 
     loop_settings = settings._replace(samples_per_step=jnp.int32(loop))
@@ -99,7 +103,7 @@ def measure_phases(scene, settings, cfg, work, step_key, env, mesh=None,
 
     step_s = run_cfg(cfg)
     out["step_ms"] = step_s * 1e3
-    out["mpaths_per_sec"] = n_pixels / step_s / 1e6
+    out["mpaths_per_sec"] = n_pixels * sample_replicas / step_s / 1e6
     out["mpaths_per_sec_chip"] = out["mpaths_per_sec"] / n_chips
 
     if fused:
@@ -109,8 +113,11 @@ def measure_phases(scene, settings, cfg, work, step_key, env, mesh=None,
         out["env_ms"] = max(step_s - nif_stub_s, 0.0) * 1e3
         out["trace_ms"] = max(nif_stub_s - skeleton_s, 0.0) * 1e3
         out["overhead_ms"] = skeleton_s * 1e3
-    elif use_pallas:
-        # Unfused path: time the two standalone kernels.
+    elif use_pallas and mesh is None:
+        # Unfused path: time the two standalone kernels.  Mesh runs skip
+        # this split - the standalone kernels would run on sharded
+        # arrays outside shard_map, which XLA cannot partition; the
+        # sharded full-step timing above is still reported.
         from ..ops.nif_pallas import nif_env_shade_pallas
         from ..ops.trace_pallas import trace_sample_pallas
 

@@ -161,6 +161,19 @@ def run_config(name: str) -> dict:
     maxdiff = np.abs(diff).max(axis=-1)
     diverged = maxdiff > 1e-2
     agree_rmse = float(np.sqrt(np.mean(diff[~diverged] ** 2)))
+    abs_rmse = float(np.sqrt(np.mean((img_jax - img_oracle) ** 2)))
+    if name == "north_star":
+        # The BASELINE north-star gate stays the ABSOLUTE full-image
+        # bound (constant env, scale ~1): no divergence carve-out.
+        criterion = "absolute full-image rmse <= 1e-3 at 1k spp " \
+                    "(BASELINE.json north_star)"
+        passed = bool(abs_rmse <= 1e-3)
+    else:
+        criterion = ("normalised rmse_agreeing_lanes <= 1e-3, diverged "
+                     "fraction < 0.5%, normalised full rmse <= 2e-2")
+        passed = bool(agree_rmse <= 1e-3
+                      and float(diverged.mean()) < 0.005
+                      and rmse <= 2e-2)
     return {
         "config": name,
         "baseline": label,
@@ -170,12 +183,11 @@ def run_config(name: str) -> dict:
         "width": w, "height": h, "spp": spp, "seed": SEED,
         "scale": scale,
         "rmse": rmse,
+        "rmse_absolute": abs_rmse,
         "rmse_agreeing_lanes": agree_rmse,
         "diverged_pixel_fraction": float(diverged.mean()),
-        "criterion": "normalised rmse_agreeing_lanes <= 1e-3, "
-                     "diverged fraction < 0.5%",
-        "pass": bool(agree_rmse <= 1e-3 and float(diverged.mean()) < 0.005
-                     and rmse <= 2e-2),
+        "criterion": criterion,
+        "pass": passed,
         "note": "exact stream replay vs the independent NumPy oracle; "
                 "diverged pixels are chaotic branch flips at float32 "
                 "discontinuities (see tests/test_oracle_parity.py)",

@@ -27,7 +27,7 @@ def test_north_star_rmse_at_1k_spp():
     mod = _load_module()
     entry = mod.run_config("north_star")
     assert entry["pass"], entry
-    assert entry["rmse"] <= 1e-3
+    assert entry["rmse_absolute"] <= 1e-3  # the BASELINE bound, un-normalised
     assert entry["spp"] == 1000 and entry["width"] == 64
 
 
