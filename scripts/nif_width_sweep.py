@@ -79,6 +79,9 @@ def main() -> int:
     p.add_argument("--widths", type=int, nargs="*", default=[256, 320, 384])
     p.add_argument("--skip-bench", action="store_true")
     p.add_argument("--cosine-decay", action="store_true")
+    p.add_argument("--layer-count", type=int, default=6,
+                   help="hidden layers (6 = canonical); the skip concat "
+                        "sits at layer_count//2")
     args = p.parse_args()
 
     from ipu_path_trace_tpu.film.imageio import read_exr
@@ -96,6 +99,8 @@ def main() -> int:
         weights, meta, loss = train_nif(
             src,
             layer_size=width,
+            layer_count=args.layer_count,
+            skip_layer=args.layer_count // 2,
             epochs=args.epochs,
             batch_size=args.batch_size,
             cosine_decay=args.cosine_decay,
@@ -103,11 +108,13 @@ def main() -> int:
             name=os.path.join(REPO, "assets", "procedural_sky.exr"),
         )
         train_s = time.monotonic() - t0
-        out_dir = os.path.join(REPO, "assets", f"nif_w{width}")
-        if width != 320:  # 320 already ships as procedural_sky_nif
+        tag = (f"nif_w{width}" if args.layer_count == 6
+               else f"nif_l{args.layer_count}w{width}")
+        out_dir = os.path.join(REPO, "assets", tag)
+        if not (width == 320 and args.layer_count == 6):
             save_assets(out_dir, weights, meta, [
-                "train_nif.py", "--layer-count", "6", "--layer-size",
-                str(width), "--embedding-dimension", "12",
+                "train_nif.py", "--layer-count", str(args.layer_count),
+                "--layer-size", str(width), "--embedding-dimension", "12",
                 "--epochs", str(args.epochs), "--input",
                 "assets/procedural_sky.exr",
             ])
@@ -117,6 +124,7 @@ def main() -> int:
         ms = None if args.skip_bench else bench_width(params)
         entry = {
             "width": width,
+            "layers": args.layer_count,
             "final_loss": loss,
             "psnr_log_db": round(q, 2),
             "ms_per_sample": None if ms is None else round(ms, 3),
@@ -129,7 +137,8 @@ def main() -> int:
         print(json.dumps(entry))
 
     out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
-    merged: dict[int, dict] = {}
+    key = lambda e: (int(e.get("layers", 6)), int(e["width"]))
+    merged: dict[tuple, dict] = {}
     extra: dict = {}
     if os.path.exists(out_path):
         try:
@@ -138,11 +147,11 @@ def main() -> int:
                 extra = {k: v for k, v in data.items() if k != "procedural_sky"}
                 data = data.get("procedural_sky", [])
             for e in data:
-                merged[int(e["width"])] = e
+                merged[key(e)] = e
         except (ValueError, KeyError):
             pass
     for e in results:
-        merged[int(e["width"])] = e
+        merged[key(e)] = e
     table = [merged[k] for k in sorted(merged)]
     with open(out_path, "w") as f:
         json.dump({"procedural_sky": table, **extra} if extra else table,
