@@ -312,7 +312,7 @@ def analyse_nif(weights: NifWeights, sample_count: int) -> dict:
 def make_synthetic_nif(
     key: jax.Array | int = 0,
     embedding_dim: int = 12,
-    hidden: int = 320,
+    hidden: int | Sequence[int] = 320,
     num_hidden: int = 6,
     skip_layer: int | None = 3,
     out_channels: int = 3,
@@ -323,17 +323,23 @@ def make_synthetic_nif(
     Used for benchmarking and tests when no trained assets are available
     (the reference ships metadata but not weights).  skip_layer inserts a
     hidden layer whose input width is hidden + 4*embedding_dim so the
-    skip-concat code path is exercised.
+    skip-concat code path is exercised.  ``hidden`` may be a per-layer
+    width list (MXU-shaped mixed-width nets; every inference path
+    re-detects the skip from layer shapes, so variable widths need no
+    other support).
     """
     if isinstance(key, int):
         key = jax.random.key(key)
+    widths = [hidden] * num_hidden if isinstance(hidden, int) else list(hidden)
+    if len(widths) != num_hidden:
+        raise ValueError(f"need {num_hidden} widths, got {widths}")
     in_dim = 4 * embedding_dim
     dims: list[tuple[int, int]] = []
     cur = in_dim
     for i in range(num_hidden):
         inw = cur + in_dim if (skip_layer is not None and i == skip_layer) else cur
-        dims.append((inw, hidden))
-        cur = hidden
+        dims.append((inw, widths[i]))
+        cur = widths[i]
     dims.append((cur, out_channels))
     layers = []
     for i, (fan_in, fan_out) in enumerate(dims):
@@ -359,6 +365,6 @@ def make_synthetic_nif(
         log_tone_map=True,
         max=3.43,
         mean=np.asarray([-2.35, -2.27, -1.96], np.float32) - 1e-8,
-        hidden_size=hidden,
+        hidden_size=widths[0],
     )
     return NifWeights(layers), meta

@@ -29,6 +29,7 @@ import argparse
 import os
 import sys
 import time
+from typing import Sequence
 
 import numpy as np
 import jax
@@ -73,7 +74,7 @@ def _mlp_apply(params, feats, skip_layer):
 def train_nif(
     image: np.ndarray,
     *,
-    layer_size: int = 320,
+    layer_size: int | Sequence[int] = 320,
     layer_count: int = 6,
     embedding_dim: int = 12,
     skip_layer: int | None = 3,
@@ -102,13 +103,17 @@ def train_nif(
     n = uv.shape[0]
     train_samples = train_samples or n
 
+    widths = ([layer_size] * layer_count if isinstance(layer_size, int)
+              else list(layer_size))
+    if len(widths) != layer_count:
+        raise ValueError(f"need {layer_count} layer sizes, got {widths}")
     in_dim = 4 * embedding_dim
     dims = []
     cur = in_dim
     for i in range(layer_count):
         fan_in = cur + in_dim if (skip_layer is not None and i == skip_layer) else cur
-        dims.append((fan_in, layer_size))
-        cur = layer_size
+        dims.append((fan_in, widths[i]))
+        cur = widths[i]
     dims.append((cur, 3))
 
     key = jax.random.key(seed)
@@ -167,7 +172,7 @@ def train_nif(
         log_tone_map=log_tone_map,
         max=max_abs,
         mean=(mean - eps) if log_tone_map else mean,  # folded like the loader
-        hidden_size=layer_size,
+        hidden_size=widths[0],
     )
     return weights, meta, float(loss)
 
@@ -184,6 +189,9 @@ def main(argv=None) -> int:
     p.add_argument("input", help="equirect HDR image (.exr) or LDR image")
     p.add_argument("out_dir", help="output assets directory")
     p.add_argument("--layer-size", type=int, default=320)
+    p.add_argument("--layer-sizes", type=str, default=None,
+                   help="comma-separated per-layer widths (overrides "
+                        "--layer-size; MXU-shaped mixed-width nets)")
     p.add_argument("--layer-count", type=int, default=6)
     p.add_argument("--embedding-dimension", type=int, default=12)
     p.add_argument("--epochs", type=int, default=10)
@@ -207,9 +215,13 @@ def main(argv=None) -> int:
         # Radiance .hdr) are radiance already (same rule as runtime/app.py):
         if np.issubdtype(np.asarray(raw).dtype, np.integer):
             img = img / 255.0
+    sizes: int | Sequence[int] = args.layer_size
+    if args.layer_sizes:
+        sizes = [int(t) for t in args.layer_sizes.split(",")]
+        args.layer_count = len(sizes)
     weights, meta, loss = train_nif(
         img,
-        layer_size=args.layer_size,
+        layer_size=sizes,
         layer_count=args.layer_count,
         embedding_dim=args.embedding_dimension,
         epochs=args.epochs,
@@ -220,9 +232,13 @@ def main(argv=None) -> int:
         seed=args.seed,
         name=os.path.abspath(args.input),
     )
-    cmd = ["train_nif.py", "--layer-count", str(args.layer_count), "--layer-size",
-           str(args.layer_size), "--embedding-dimension", str(args.embedding_dimension),
-           "--input", args.input]
+    cmd = ["train_nif.py", "--layer-count", str(args.layer_count)]
+    if args.layer_sizes:
+        cmd += ["--layer-sizes", args.layer_sizes]
+    else:
+        cmd += ["--layer-size", str(args.layer_size)]
+    cmd += ["--embedding-dimension", str(args.embedding_dimension),
+            "--input", args.input]
     save_assets(args.out_dir, weights, meta, cmd)
     print(f"final loss: {loss:.6f}")
     return 0

@@ -77,7 +77,16 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=65536)
     p.add_argument("--widths", type=int, nargs="*", default=[256, 320, 384])
+    p.add_argument("--archs", type=str, nargs="*", default=[],
+                   help="mixed-width archs as dash-separated per-layer "
+                        "widths, e.g. 256-128-208-256-128-128 (inputs "
+                        "128-aligned; pre-skip width = 80 mod 128 absorbs "
+                        "the +4E skip-concat exactly)")
     p.add_argument("--skip-bench", action="store_true")
+    p.add_argument("--synthetic-bench", action="store_true",
+                   help="no training: bench each spec with random weights "
+                        "(identical compute) to validate the MXU cost "
+                        "model before spending training time")
     p.add_argument("--cosine-decay", action="store_true")
     p.add_argument("--layer-count", type=int, default=6,
                    help="hidden layers (6 = canonical); the skip concat "
@@ -93,14 +102,41 @@ def main() -> int:
     h, w = src.shape[:2]
     print(f"source HDRI {w}x{h}, device {jax.devices()[0]}", file=sys.stderr)
 
+    specs: list[int | tuple[int, ...]] = list(args.widths)
+    specs += [tuple(int(t) for t in a.split("-")) for a in args.archs]
+
+    if args.synthetic_bench:
+        from ipu_path_trace_tpu.models.nif import analyse_nif, make_synthetic_nif
+
+        for spec in specs:
+            mixed = not isinstance(spec, int)
+            layer_count = len(spec) if mixed else args.layer_count
+            weights, meta = make_synthetic_nif(
+                key=0, hidden=list(spec) if mixed else spec,
+                num_hidden=layer_count, skip_layer=layer_count // 2,
+            )
+            params = make_params(weights, meta, jnp.bfloat16)
+            ms = bench_width(params)
+            print(json.dumps({
+                "width": "-".join(map(str, spec)) if mixed else spec,
+                "layers": layer_count,
+                "params_kib": round(analyse_nif(weights, 1)["parameters_kib"], 1),
+                "ms_per_sample": round(ms, 3),
+                "mpaths_per_sec": round(WIDTH * HEIGHT / ms / 1e3, 1),
+                "synthetic": True,
+            }))
+        return 0
+
     results = []
-    for width in args.widths:
+    for spec in specs:
+        mixed = not isinstance(spec, int)
+        layer_count = len(spec) if mixed else args.layer_count
         t0 = time.monotonic()
         weights, meta, loss = train_nif(
             src,
-            layer_size=width,
-            layer_count=args.layer_count,
-            skip_layer=args.layer_count // 2,
+            layer_size=list(spec) if mixed else spec,
+            layer_count=layer_count,
+            skip_layer=layer_count // 2,
             epochs=args.epochs,
             batch_size=args.batch_size,
             cosine_decay=args.cosine_decay,
@@ -108,13 +144,18 @@ def main() -> int:
             name=os.path.join(REPO, "assets", "procedural_sky.exr"),
         )
         train_s = time.monotonic() - t0
-        tag = (f"nif_w{width}" if args.layer_count == 6
-               else f"nif_l{args.layer_count}w{width}")
+        if mixed:
+            size_args = ["--layer-sizes", ",".join(str(w) for w in spec)]
+            tag = "nif_m" + "-".join(str(w) for w in spec)
+        else:
+            size_args = ["--layer-size", str(spec)]
+            tag = (f"nif_w{spec}" if layer_count == 6
+                   else f"nif_l{layer_count}w{spec}")
         out_dir = os.path.join(REPO, "assets", tag)
-        if not (width == 320 and args.layer_count == 6):
+        if not (spec == 320 and layer_count == 6):
             save_assets(out_dir, weights, meta, [
-                "train_nif.py", "--layer-count", str(args.layer_count),
-                "--layer-size", str(width), "--embedding-dimension", "12",
+                "train_nif.py", "--layer-count", str(layer_count),
+                *size_args, "--embedding-dimension", "12",
                 "--epochs", str(args.epochs), "--input",
                 "assets/procedural_sky.exr",
             ])
@@ -123,8 +164,8 @@ def main() -> int:
         q = psnr_log(recon, src)
         ms = None if args.skip_bench else bench_width(params)
         entry = {
-            "width": width,
-            "layers": args.layer_count,
+            "width": "-".join(str(w) for w in spec) if mixed else spec,
+            "layers": layer_count,
             "final_loss": loss,
             "psnr_log_db": round(q, 2),
             "ms_per_sample": None if ms is None else round(ms, 3),
@@ -137,7 +178,7 @@ def main() -> int:
         print(json.dumps(entry))
 
     out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
-    key = lambda e: (int(e.get("layers", 6)), int(e["width"]))
+    key = lambda e: (int(e.get("layers", 6)), str(e["width"]))
     merged: dict[tuple, dict] = {}
     extra: dict = {}
     if os.path.exists(out_path):

@@ -24,11 +24,13 @@ SAMPLES = 3
 MAXLEN = 5
 
 
-def _setup():
+def _setup(hidden=64, num_hidden=3):
     scene = default_scene()
     cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN)
     settings = RenderSettings.make(samples_per_step=SAMPLES)
-    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3, skip_layer=1)
+    weights, meta = make_synthetic_nif(
+        key=5, hidden=hidden, num_hidden=num_hidden, skip_layer=1
+    )
     params = make_params(weights, meta, jnp.bfloat16)
     work = make_worklist(W, H)
     cols = jnp.asarray(work["u"], jnp.float32)
@@ -79,6 +81,31 @@ def test_megastep_matches_xla_chain():
     # hit becomes a miss, and that lane's whole path diverges.  Measured
     # rate: ~1 lane in 1728.  Bound the flips, then require the NIF
     # budget (test_nif_pallas) on the non-flipped lanes.
+    flipped = np.asarray(out.path_len) != ref_plen
+    assert flipped.mean() < 5e-3, f"{flipped.sum()} flipped lanes"
+    ok = ~flipped
+    scale = np.abs(ref_rad).max()
+    rel = (np.abs(got - ref_rad) / (np.abs(ref_rad) + 1e-2 * scale))[:, ok]
+    assert np.median(rel) < 5e-3
+    assert rel.max() < 8e-2
+
+
+def test_megastep_mixed_width_nif():
+    """Mixed per-layer NIF widths through the fused production kernel:
+    the weight BlockSpecs carry a different shape per layer and the
+    skip-concat re-detection must pick layer 1 (the only mismatch)."""
+    scene, cfg, settings, params, cols, rows, noise = _setup(
+        hidden=[64, 32, 48], num_hidden=3
+    )
+    ref_rad, ref_plen = _xla_twin(scene, cfg, settings, params, cols, rows, noise)
+    out = render_megastep_pallas(
+        scene, settings, params, cols, rows, noise=jnp.asarray(noise),
+        width=W, height=H, max_path_length=MAXLEN,
+        aa_noise_type=cfg.aa_noise_type, block_size=BLOCK, interpret=True,
+    )
+    got = np.stack(
+        [np.asarray(out.radiance.x), np.asarray(out.radiance.y), np.asarray(out.radiance.z)]
+    )
     flipped = np.asarray(out.path_len) != ref_plen
     assert flipped.mean() < 5e-3, f"{flipped.sum()} flipped lanes"
     ok = ~flipped

@@ -45,6 +45,29 @@ def test_pallas_matches_xla_f32(skip_layer, log_tone_map):
     assert rel.max() < 1.5e-2
 
 
+def test_pallas_matches_xla_mixed_widths():
+    """Per-layer (mixed) widths: the MXU-shaped variable-width nets.
+
+    Every inference path re-detects the skip-concat from layer shapes,
+    so a width change mid-chain must flow through the Pallas kernel
+    identically to the XLA path."""
+    weights, meta = make_synthetic_nif(
+        key=11, hidden=[64, 32, 48, 64], num_hidden=4, skip_layer=2
+    )
+    assert [l.kernel.shape for l in weights.layers] == [
+        (48, 64), (64, 32), (32 + 48, 48), (48, 64), (64, 3)
+    ]
+    params = make_params(weights, meta, jnp.float32)
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.uniform(0.0, 1.0, 700), jnp.float32)
+    v = jnp.asarray(rng.uniform(0.0, 1.0, 700), jnp.float32)
+    ref = np.asarray(nif_apply(params, u, v))
+    out = np.asarray(nif_apply_pallas(params, u, v, block_size=256, interpret=True))
+    scale = np.abs(ref).max()
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-2 * scale)
+    assert rel.max() < 1.5e-2
+
+
 def test_pallas_matches_xla_bf16():
     """bf16 weights: the two paths quantise features on opposite sides of
     a bf16 ulp, and the log decode exponentiates the gap - parity is to

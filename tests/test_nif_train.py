@@ -55,6 +55,39 @@ def test_train_and_roundtrip(tmp_path):
     assert np.median(rel) < 0.15, f"median rel err {np.median(rel)}"
 
 
+def test_train_mixed_widths_roundtrip(tmp_path):
+    """Mixed per-layer widths survive the train -> save -> load cycle and
+    keep the skip-concat at the declared layer (shapes are the contract
+    every inference path re-detects the skip from)."""
+    img = _test_image()
+    widths = [48, 32, 16, 48]
+    weights, meta, loss = train_nif(
+        img,
+        layer_size=widths,
+        layer_count=4,
+        embedding_dim=4,
+        skip_layer=2,
+        epochs=60,
+        batch_size=2048,
+        learning_rate=3e-3,
+        seed=2,
+    )
+    in_dim = 4 * 4
+    assert [l.kernel.shape for l in weights.layers] == [
+        (in_dim, 48), (48, 32), (32 + in_dim, 16), (16, 48), (48, 3)
+    ]
+    out = str(tmp_path / "assets.extra")
+    save_assets(out, weights, meta,
+                ["train_nif.py", "--layer-sizes", "48,32,16,48"])
+    params, meta2, weights2 = load_nif_assets(out)
+    assert [l.kernel.shape for l in weights2.layers] == [
+        l.kernel.shape for l in weights.layers
+    ]
+    recon = reconstruct_image(params, img.shape[0], img.shape[1], max_batch_size=512)
+    assert recon.shape == img.shape
+    assert np.isfinite(recon).all()
+
+
 def test_uv_grid_matches_reference():
     u, v = uv_grid(4, 8)
     # Row-major: first 8 entries are row 0 (NifModel.cpp:481-487):
