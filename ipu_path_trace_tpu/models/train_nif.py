@@ -19,8 +19,12 @@ Channel order is **BGR** - the renderer flips the network output
 (BGR) images.
 
 Run:  python -m ipu_path_trace_tpu.models.train_nif <image.exr> <out_dir>
-          [--layer-size 320] [--layer-count 6] [--embedding-dimension 12]
+          [--layer-size 320 | --layer-sizes 256,128,208,256,128,128]
+          [--layer-count 6] [--embedding-dimension 12]
           [--epochs N] [--batch-size 16384] [--train-samples N]
+
+--layer-sizes trains MXU-shaped mixed-width nets (per-layer widths);
+see docs/PERF.md "mixed-width frontier" for how to choose them.
 """
 
 from __future__ import annotations

@@ -87,6 +87,11 @@ def main() -> int:
                    help="no training: bench each spec with random weights "
                         "(identical compute) to validate the MXU cost "
                         "model before spending training time")
+    p.add_argument("--eval-assets", type=str, nargs="*", default=[],
+                   help="no training: PSNR + bench already-trained asset "
+                        "dirs (names under assets/), merging results into "
+                        "docs/NIF_WIDTHS.json — resume path for sweeps "
+                        "interrupted after save_assets")
     p.add_argument("--cosine-decay", action="store_true")
     p.add_argument("--layer-count", type=int, default=6,
                    help="hidden layers (6 = canonical); the skip concat "
@@ -128,6 +133,35 @@ def main() -> int:
         return 0
 
     results = []
+    if args.eval_assets:
+        from ipu_path_trace_tpu.models.nif import analyse_nif, load_nif_assets
+
+        for name in args.eval_assets:
+            params, meta, weights = load_nif_assets(
+                os.path.join(REPO, "assets", name), jnp.bfloat16
+            )
+            widths = [l.kernel.shape[1] for l in weights.layers[:-1]]
+            mixed = len(set(widths)) > 1
+            recon = reconstruct_image(params, h, w)
+            q = psnr_log(recon, src)
+            ms = None if args.skip_bench else bench_width(params)
+            entry = {
+                "width": "-".join(map(str, widths)) if mixed else widths[0],
+                "layers": len(widths),
+                "final_loss": None,
+                "psnr_log_db": round(q, 2),
+                "ms_per_sample": None if ms is None else round(ms, 3),
+                "mpaths_per_sec": None if ms is None
+                else round(WIDTH * HEIGHT / ms / 1e3, 1),
+                "params_kib": round(analyse_nif(weights, 1)["parameters_kib"], 1),
+                "epochs": args.epochs,
+                "cosine_decay": args.cosine_decay,
+                "note": f"evaluated from assets/{name}",
+            }
+            results.append(entry)
+            print(json.dumps(entry))
+        specs = []
+
     for spec in specs:
         mixed = not isinstance(spec, int)
         layer_count = len(spec) if mixed else args.layer_count

@@ -14,10 +14,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ASSETS = {
-    "procedural_sky_nif": 320,  # canonical reference architecture
-    "nif_w128": 128,
-    "nif_w192": 192,  # bench default
-    "nif_w256": 256,
+    "procedural_sky_nif": [320] * 6,  # canonical reference architecture
+    "nif_w128": [128] * 6,
+    "nif_w192": [192] * 6,  # bench default
+    "nif_w256": [256] * 6,
+    # MXU-shaped mixed-width nets (docs/PERF.md "mixed-width frontier"):
+    "nif_m256-128-208-256-128-128": [256, 128, 208, 256, 128, 128],
+    "nif_m256-128-80-256-256-128": [256, 128, 80, 256, 256, 128],
 }
 
 
@@ -29,12 +32,15 @@ def test_shipped_nif_asset(name, hidden):
         os.path.join(REPO, "assets", name), jnp.bfloat16
     )
     info = analyse_nif(weights, 1)
-    assert info["hidden_size"] == hidden
-    assert info["layers"] == 7  # 6 hidden + output
+    assert info["layers"] == len(hidden) + 1  # hidden + output
     assert meta.embedding_dimension == 12
-    # Skip-concat layer present (the reference's width autodetect):
+    # Exact per-layer architecture (the name IS the claim), including the
+    # skip-concat at layer len//2 (the reference's width autodetect):
+    out_dims = [l.kernel.shape[1] for l in weights.layers[:-1]]
+    assert out_dims == hidden, out_dims
     in_dims = [l.kernel.shape[0] for l in weights.layers]
-    assert in_dims.count(hidden + 48) == 1, in_dims
+    skip = len(hidden) // 2
+    assert in_dims[skip] == hidden[skip - 1] + 4 * meta.embedding_dimension
     # Decodes to positive HDR radiance over a UV probe grid:
     u = jnp.linspace(0.05, 0.95, 64)
     v = jnp.linspace(0.05, 0.95, 64)
