@@ -9,9 +9,11 @@ src/PathTracerApp.cpp:766-770).  Baseline: the driver-assigned target of
 Two env models are measured (both TRAINED on assets/procedural_sky.exr,
 both through the identical fused megastep):
 
-  * 6x192 (assets/nif_w192)          - the tuned width from the MXU
-    width sweep (docs/NIF_WIDTHS.json): reconstruction PSNR ABOVE the
-    canonical width's at half the padded matmul cost.  THE HEADLINE.
+  * 6x192 E=16 (assets/nif_w192e16)  - the tuned width from the MXU
+    width sweep (docs/NIF_WIDTHS.json) with the kernel-free E=16
+    embedding (skip-concat lands exactly on 256): reconstruction PSNR
+    60.15 dB, ABOVE the canonical width's 59.2, at half the canonical
+    padded matmul cost.  THE HEADLINE.
   * 6x320 (assets/procedural_sky_nif) - the reference's canonical
     urban_alley-class architecture, reported for parity comparability
     (printed to stderr).
@@ -63,11 +65,13 @@ def _load_env(asset_dir: str):
     )
 
     try:
-        params, _meta, weights = load_nif_assets(asset_dir, jnp.bfloat16)
+        params, meta, weights = load_nif_assets(asset_dir, jnp.bfloat16)
         width = analyse_nif(weights, 1)["hidden_size"]
         desc = f"trained 6x{width} NIF env"
+        if meta.embedding_dimension != 12:
+            desc += f" (E={meta.embedding_dimension})"
         if width == 192:
-            desc += (" (reconstruction PSNR 59.6 dB > canonical 6x320's "
+            desc += (" (reconstruction PSNR 60.15 dB > canonical 6x320's "
                      "59.2 at matched recipe; docs/NIF_WIDTHS.json)")
         print(f"bench NIF: {desc} ({asset_dir})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - fall back, report why
@@ -136,7 +140,7 @@ def main() -> None:
     # before execution finishes; a scalar fetch is a reliable barrier.
     sync = jax.jit(lambda w: w.r[0] + w.b[-1])
 
-    env_tuned, desc = _load_env(os.path.join(REPO, "assets", "nif_w192"))
+    env_tuned, desc = _load_env(os.path.join(REPO, "assets", "nif_w192e16"))
     headline = _measure("tuned", env_tuned, scene, cfg, settings, work, sync)
 
     # Canonical-width parity number (stderr only; same kernel, the

@@ -96,6 +96,10 @@ def main() -> int:
     p.add_argument("--layer-count", type=int, default=6,
                    help="hidden layers (6 = canonical); the skip concat "
                         "sits at layer_count//2")
+    p.add_argument("--embedding-dim", type=int, default=12,
+                   help="Fourier embedding dim E (canonical 12). E=16 at "
+                        "width 192 makes the skip-concat exactly 256 - "
+                        "zero MXU pad, so extra features are kernel-free")
     args = p.parse_args()
 
     from ipu_path_trace_tpu.film.imageio import read_exr
@@ -119,6 +123,7 @@ def main() -> int:
             weights, meta = make_synthetic_nif(
                 key=0, hidden=list(spec) if mixed else spec,
                 num_hidden=layer_count, skip_layer=layer_count // 2,
+                embedding_dim=args.embedding_dim,
             )
             params = make_params(weights, meta, jnp.bfloat16)
             ms = bench_width(params)
@@ -158,6 +163,8 @@ def main() -> int:
                 "cosine_decay": args.cosine_decay,
                 "note": f"evaluated from assets/{name}",
             }
+            if meta.embedding_dimension != 12:
+                entry["embedding_dim"] = meta.embedding_dimension
             results.append(entry)
             print(json.dumps(entry))
         specs = []
@@ -174,6 +181,7 @@ def main() -> int:
             epochs=args.epochs,
             batch_size=args.batch_size,
             cosine_decay=args.cosine_decay,
+            embedding_dim=args.embedding_dim,
             seed=0,
             name=os.path.join(REPO, "assets", "procedural_sky.exr"),
         )
@@ -185,11 +193,14 @@ def main() -> int:
             size_args = ["--layer-size", str(spec)]
             tag = (f"nif_w{spec}" if layer_count == 6
                    else f"nif_l{layer_count}w{spec}")
+        if args.embedding_dim != 12:
+            tag += f"e{args.embedding_dim}"
         out_dir = os.path.join(REPO, "assets", tag)
-        if not (spec == 320 and layer_count == 6):
+        if not (spec == 320 and layer_count == 6 and args.embedding_dim == 12):
             save_assets(out_dir, weights, meta, [
                 "train_nif.py", "--layer-count", str(layer_count),
-                *size_args, "--embedding-dimension", "12",
+                *size_args, "--embedding-dimension",
+                str(args.embedding_dim),
                 "--epochs", str(args.epochs), "--input",
                 "assets/procedural_sky.exr",
             ])
@@ -208,11 +219,14 @@ def main() -> int:
             "epochs": args.epochs,
             "cosine_decay": args.cosine_decay,
         }
+        if args.embedding_dim != 12:
+            entry["embedding_dim"] = args.embedding_dim
         results.append(entry)
         print(json.dumps(entry))
 
     out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
-    key = lambda e: (int(e.get("layers", 6)), str(e["width"]))
+    key = lambda e: (int(e.get("layers", 6)), str(e["width"]),
+                     int(e.get("embedding_dim", 12)))
     merged: dict[tuple, dict] = {}
     extra: dict = {}
     if os.path.exists(out_path):

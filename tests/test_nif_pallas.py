@@ -45,6 +45,26 @@ def test_pallas_matches_xla_f32(skip_layer, log_tone_map):
     assert rel.max() < 1.5e-2
 
 
+def test_pallas_matches_xla_embedding16():
+    """E=16 (the kernel-free embedding at width 192: skip-concat lands
+    exactly on 256, zero MXU pad).  Four more double-angle octaves than
+    the canonical E=12 - feature error grows ~1 bit/octave, still well
+    inside the relative tolerance."""
+    weights, meta = make_synthetic_nif(
+        key=13, hidden=64, num_hidden=3, skip_layer=1, embedding_dim=16
+    )
+    assert weights.layers[0].kernel.shape[0] == 64  # 4E features
+    params = make_params(weights, meta, jnp.float32)
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.uniform(0.0, 1.0, 700), jnp.float32)
+    v = jnp.asarray(rng.uniform(0.0, 1.0, 700), jnp.float32)
+    ref = np.asarray(nif_apply(params, u, v))
+    out = np.asarray(nif_apply_pallas(params, u, v, block_size=256, interpret=True))
+    scale = np.abs(ref).max()
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-2 * scale)
+    assert rel.max() < 2e-2
+
+
 def test_pallas_matches_xla_mixed_widths():
     """Per-layer (mixed) widths: the MXU-shaped variable-width nets.
 

@@ -14,18 +14,23 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ASSETS = {
-    "procedural_sky_nif": [320] * 6,  # canonical reference architecture
-    "nif_w128": [128] * 6,
-    "nif_w192": [192] * 6,  # bench default
-    "nif_w256": [256] * 6,
-    # MXU-shaped mixed-width nets (docs/PERF.md "mixed-width frontier"):
-    "nif_m256-128-208-256-128-128": [256, 128, 208, 256, 128, 128],
-    "nif_m256-128-80-256-256-128": [256, 128, 80, 256, 256, 128],
+    "procedural_sky_nif": ([320] * 6, 12),  # canonical reference architecture
+    "nif_w128": ([128] * 6, 12),
+    "nif_w192": ([192] * 6, 12),
+    # Bench default: E=16 puts the skip-concat exactly on 256 (zero MXU
+    # pad), buying +0.55 dB at identical kernel cost (docs/PERF.md):
+    "nif_w192e16": ([192] * 6, 16),
+    "nif_w256": ([256] * 6, 12),
+    # The mixed-width speed extreme: 444 Mpaths/s, the fastest measured
+    # configuration (docs/PERF.md "mixed per-layer widths"):
+    "nif_m128-128-80-128-128-128": ([128, 128, 80, 128, 128, 128], 12),
 }
 
 
-@pytest.mark.parametrize("name,hidden", sorted(ASSETS.items()))
-def test_shipped_nif_asset(name, hidden):
+@pytest.mark.parametrize("name,hidden,embed", sorted(
+    (k, *v) for k, v in ASSETS.items()
+))
+def test_shipped_nif_asset(name, hidden, embed):
     from ipu_path_trace_tpu.models.nif import analyse_nif, load_nif_assets, nif_apply
 
     params, meta, weights = load_nif_assets(
@@ -33,7 +38,7 @@ def test_shipped_nif_asset(name, hidden):
     )
     info = analyse_nif(weights, 1)
     assert info["layers"] == len(hidden) + 1  # hidden + output
-    assert meta.embedding_dimension == 12
+    assert meta.embedding_dimension == embed
     # Exact per-layer architecture (the name IS the claim), including the
     # skip-concat at layer len//2 (the reference's width autodetect):
     out_dims = [l.kernel.shape[1] for l in weights.layers[:-1]]
