@@ -67,6 +67,10 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=6000)
     p.add_argument("--batch-size", type=int, default=65536)
     p.add_argument("--widths", type=int, nargs="*", default=[192, 256, 320])
+    p.add_argument("--embedding-dim", type=int, default=12,
+                   help="Fourier embedding dim E; E=16 is MXU-pad-free at "
+                        "every shipped width and the hard env has real "
+                        "high-frequency content for the extra octaves")
     args = p.parse_args()
 
     from ipu_path_trace_tpu.models.nif import make_params
@@ -85,6 +89,7 @@ def main() -> int:
         weights, meta, loss = train_nif(
             src, layer_size=width, epochs=args.epochs,
             batch_size=args.batch_size, cosine_decay=True, seed=0,
+            embedding_dim=args.embedding_dim,
             # Matched OPTIMIZER budget with the sky recipe (2 steps/epoch
             # regardless of image size - 12k steps at 6000 epochs):
             train_samples=2 * args.batch_size,
@@ -96,6 +101,8 @@ def main() -> int:
         entry = {"width": width, "psnr_log_db": round(q, 2),
                  "final_loss": loss,
                  "train_seconds": round(time.monotonic() - t0, 1)}
+        if args.embedding_dim != 12:
+            entry["embedding_dim"] = args.embedding_dim
         results.append(entry)
         print(json.dumps(entry))
 
@@ -103,12 +110,18 @@ def main() -> int:
     data = json.load(open(out_path))
     if isinstance(data, list):
         data = {"procedural_sky": data}
+    # Merge by (width, E) so E-probes don't clobber earlier rows:
+    key = lambda e: (int(e["width"]), int(e.get("embedding_dim", 12)))
+    merged = {key(e): e for e in
+              data.get("hard_env_1024x2048", {}).get("results", [])}
+    for e in results:
+        merged[key(e)] = e
     data["hard_env_1024x2048"] = {
         "description": "multi-octave noise + 24 sharp HDR emitters "
                        "(urban-alley-class frequency content); "
                        "matched recipe, PSNR only",
         "epochs": args.epochs,
-        "results": results,
+        "results": [merged[k] for k in sorted(merged)],
     }
     json.dump(data, open(out_path, "w"), indent=2)
     print(f"wrote {out_path}", file=sys.stderr)

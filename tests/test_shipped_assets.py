@@ -20,7 +20,8 @@ ASSETS = {
     # Bench default: E=16 puts the skip-concat exactly on 256 (zero MXU
     # pad), buying +0.55 dB at identical kernel cost (docs/PERF.md):
     "nif_w192e16": ([192] * 6, 16),
-    "nif_w256": ([256] * 6, 12),
+    # Quality asset: 61.12 dB (best measured), same rate as E=12:
+    "nif_w256e16": ([256] * 6, 16),
     # The mixed-width speed extreme: 444 Mpaths/s, the fastest measured
     # configuration (docs/PERF.md "mixed per-layer widths"):
     "nif_m128-128-80-128-128-128": ([128, 128, 80, 128, 128, 128], 12),
