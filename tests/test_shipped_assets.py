@@ -1,6 +1,6 @@
 """Guard the shipped NIF assets: loadable, right architecture, sane env.
 
-The bench default (assets/nif_w192) and the other shipped widths are
+The bench default (assets/nif_w192e16) and the other shipped widths are
 binary artifacts; this pins that they load through the reference-format
 parsers, carry the architecture their name claims, and decode to a
 physically sane sky (positive HDR radiance)."""
