@@ -326,6 +326,13 @@ class PathTracerApp:
             )
         key = make_base_key(cfg.seed, cfg.rng_impl)
         total_rays = {"n": 0}
+        # Film content newer than the on-disk outfile, recorded as the
+        # normalization step to save it at (0 = disk is current).  With a
+        # UI attached, save-interval images are STREAMED instead of saved
+        # (reference: PathTracerApp.cpp:750-760), so a remote stop - or a
+        # natural finish - would otherwise leave -o empty; the exit save
+        # below persists whatever the film holds.
+        disk_pending = {"norm": 0}
         settings_sig = None
         settings = None
         if cfg.profile_dir:
@@ -380,6 +387,7 @@ class PathTracerApp:
                     elif status == "restart":
                         host.wait_for_completion()
                         film.reset()
+                        disk_pending["norm"] = 0  # film is empty again
                         balancer.clear_active_accumulators()
                         work_dev_resident = None  # device-film: re-upload cleared
                         start_time = time.monotonic()
@@ -491,10 +499,12 @@ class PathTracerApp:
                             film.accumulate_soa(
                                 wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count
                             )
+                        disk_pending["norm"] = 1
                         if ui is not None:
                             ui.start_sending_raw_image(film.hdr_at_step(1))
                         else:
                             with self.trace.span("save_images"):
+                                disk_pending["norm"] = 0
                                 save_images(
                                     cfg.outfile,
                                     film.hdr_at_step(1),
@@ -525,6 +535,7 @@ class PathTracerApp:
             def host_processing(step=step_for_task, sps=sps_for_task, ui=ui_server):
                 with self.trace.span("accumulate_framebuffers"):
                     film.accumulate(balancer.work.inactive)
+                disk_pending["norm"] = step
                 if ui is not None:
                     # Tone-mapping reads the LIVE UI state - exposure/gamma
                     # deliberately don't restart the render (the reference
@@ -548,6 +559,7 @@ class PathTracerApp:
                         ui.start_sending_raw_image(film.hdr_at_step(step))
                     else:
                         with self.trace.span("save_images"):
+                            disk_pending["norm"] = 0
                             save_images(
                                 cfg.outfile,
                                 film.hdr_at_step(step),
@@ -582,19 +594,22 @@ class PathTracerApp:
                 wb = jax.tree.map(np.asarray, work_dev_resident)
                 film.reset()
                 film.accumulate_soa(wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count)
-            # An interrupted device-film render must still PERSIST the
-            # fetched samples (with a sparse save-interval everything
-            # since the last save would otherwise be discarded):
+            disk_pending["norm"] = 1
             if ui_server is not None:
                 ui_server.start_sending_raw_image(film.hdr_at_step(1))
-            else:
-                with self.trace.span("save_images"):
-                    save_images(
-                        cfg.outfile,
-                        film.hdr_at_step(1),
-                        film.ldr(1, state["exposure"], state["gamma"]),
-                    )
-                    logger().info("Saved images at final device-film fetch")
+        # Persist anything the outfile does not have yet - an interrupted
+        # render (remote stop / disconnect) and any UI-attached run whose
+        # save-interval images were streamed rather than written must
+        # still honour -o with the completed samples:
+        if disk_pending["norm"] > 0:
+            n = disk_pending["norm"]
+            with self.trace.span("save_images"):
+                save_images(
+                    cfg.outfile,
+                    film.hdr_at_step(n),
+                    film.ldr(n, state["exposure"], state["gamma"]),
+                )
+                logger().info("Saved images at exit (step %d)", n)
         if cfg.profile_dir:
             jax.profiler.stop_trace()
         elapsed = time.monotonic() - start_time

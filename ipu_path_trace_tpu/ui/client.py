@@ -42,6 +42,10 @@ class InterfaceClient:
         self.ray_rate = 0.0
         # Bounded: a long interactive run sends one JPEG per step.
         self.preview_frames: deque[bytes] = deque(maxlen=8)
+        # Monotonic totals (the deque is bounded; rate measurements need
+        # counters that never drop history):
+        self.preview_count = 0
+        self.preview_bytes = 0
         # Full preview byte stream (FMP4 video mode needs the init
         # segment + fragments contiguous); bounded to ~16 MiB.
         self.preview_stream = bytearray()
@@ -85,6 +89,8 @@ class InterfaceClient:
     # --- incoming handlers ---
     def _on_preview(self, b: bytes):
         self.preview_frames.append(b)
+        self.preview_count += 1
+        self.preview_bytes += len(b)
         if len(self.preview_stream) < 16 * 1024 * 1024:
             self.preview_stream.extend(b)
 

@@ -322,6 +322,38 @@ def test_device_film_early_stop_persists_samples(tmp_path):
     np.testing.assert_allclose(film.hdr_at_step(1), hdr)
 
 
+def test_ui_stop_persists_outfile_stepwise(tmp_path):
+    """With a UI attached, save-interval images are streamed instead of
+    written (PathTracerApp.cpp:750-760) - but a remote stop (and any
+    UI-attached run) must still honour -o: the exit save writes the
+    accumulated film to disk in the step-wise (non-device-film) path."""
+    from ipu_path_trace_tpu.film.imageio import read_exr
+
+    out = tmp_path / "ui_stop.png"
+    cfg = Config(
+        outfile=str(out),
+        assets="constant:0.6,0.5,0.4",
+        width=8,
+        height=8,
+        samples=40,
+        samples_per_step=2,
+        interactive_samples=2,
+        save_interval=100,  # never reached before the stop
+        seed=9,
+        device_film=False,
+    )
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    film = app.execute(ui_server=_StubUI(stop_after=4))
+    assert out.exists() and out.with_suffix(".exr").exists()
+    hdr = read_exr(str(out.with_suffix(".exr")))
+    assert np.isfinite(hdr).all() and hdr.max() > 0
+    # The saved EXR is the film at its last accumulated step:
+    steps_done = int(round(float(film.hdr.max() / hdr.max())))
+    np.testing.assert_allclose(film.hdr_at_step(steps_done), hdr, rtol=1e-6)
+
+
 def test_raster_permutation_rejects_bad_worklists():
     from ipu_path_trace_tpu.core.records import make_worklist, raster_permutation
 
