@@ -113,14 +113,35 @@ def main() -> int:
         print(json.dumps({"phase": "env_rotation_restart", "ok": restarted,
                           "progress_after": round(client.progress, 4)}))
 
-        # Phase 4: remote stop; the app must exit cleanly and still save
+        # Phase 4: live NIF hot-swap (load_nif channel) - env reload +
+        # restart + jit re-specialisation for the new weight shapes
+        # (reference: PathTracerApp.cpp:548-557).  Previews must resume
+        # with the swapped environment.
+        alt = os.path.join(REPO, "assets", "nif_w256e16")
+        client.load_nif(alt)
+        n2 = client.preview_count
+        t2 = time.monotonic()
+        swapped = False
+        while time.monotonic() - t2 < 300:
+            if proc.poll() is not None:
+                print("[probe] FAIL: render process died during NIF swap")
+                return 1
+            if client.preview_count > n2 + 1:
+                swapped = True
+                break
+            time.sleep(0.5)
+        print(json.dumps({"phase": "load_nif_hot_swap", "ok": swapped,
+                          "resume_latency_s": round(time.monotonic() - t2, 1)}))
+
+        # Phase 5: remote stop; the app must exit cleanly and still save
         # the partial image.
         client.stop_render()
         rc = proc.wait(timeout=180)
         saved = os.path.exists(out)
         print(json.dumps({"phase": "remote_stop", "exit_code": rc,
                           "image_saved": saved, "outfile": out}))
-        return 0 if (rc == 0 and saved and ok_exposure and restarted) else 1
+        return 0 if (rc == 0 and saved and ok_exposure and restarted
+                     and swapped) else 1
     finally:
         if client is not None:
             client.close()
