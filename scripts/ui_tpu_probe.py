@@ -33,6 +33,9 @@ from ipu_path_trace_tpu.ui.client import InterfaceClient  # noqa: E402
 
 PORT = int(os.environ.get("UI_PROBE_PORT", "5179"))
 W = H = int(os.environ.get("UI_PROBE_SIZE", "512"))
+# 1 = drive the --device-film interactive mode (on-device tonemap, only
+# LDR bytes cross per step) instead of the step-wise worklist loop:
+DEVICE_FILM = os.environ.get("UI_PROBE_DEVICE_FILM", "") == "1"
 
 
 def main() -> int:
@@ -45,6 +48,8 @@ def main() -> int:
         "--assets", os.path.join(REPO, "assets", "nif_w192e16"),
         "--ui-port", str(PORT), "-o", out,
     ]
+    if DEVICE_FILM:
+        cmd.append("--device-film")
     proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
                             stderr=subprocess.STDOUT)
     client = None
