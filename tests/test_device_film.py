@@ -171,6 +171,10 @@ def test_device_film_with_ui_preview(tmp_path):
         client.stop_render()
         t.join(timeout=120)
         assert not t.is_alive()
+        # The remote stop must still persist -o (exit save; with a UI
+        # attached save-interval images are only streamed):
+        assert (tmp_path / "df_ui.png").exists()
+        assert (tmp_path / "df_ui.exr").exists()
     finally:
         client.close()
         server.stop()
