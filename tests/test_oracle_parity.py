@@ -219,6 +219,26 @@ def test_progressive_accumulation_consistency():
     assert abs(m1 - m2) / max(m2, 1e-6) < 0.25  # MC noise tolerance
 
 
+def test_grid_scene_parity():
+    """Many-object scenes: 24 objects through the unrolled select chain
+    must still replay exactly against the oracle (the reference cannot
+    scale its scene without editing codelets.cpp:111-144; --scene users
+    here can, so the chain is exercised well past the default 6)."""
+    from ipu_path_trace_tpu.core.scene import grid_scene
+
+    scene = grid_scene(23)  # + floor disc = 24 objects, incl. emissives
+    assert scene.num_objects == 24
+    img_jax, img_oracle, out = _run_pair(
+        ConstantEnv(colour=jnp.asarray([0.6, 0.7, 0.9])),
+        ("constant", np.asarray([0.6, 0.7, 0.9], np.float32)),
+        spp=2,
+        scene=scene,
+    )
+    _assert_parity(img_jax, img_oracle,
+                   scale=max(1.0, float(img_oracle.max())))
+    assert img_jax.mean() > 0.01
+
+
 def test_dof_oracle_parity():
     """Thin-lens DoF: the NumPy oracle and the XLA uniforms driver consume
     identical lens noise and must agree to float rounding."""
