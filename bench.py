@@ -66,11 +66,14 @@ def _load_env(asset_dir: str):
 
     try:
         params, meta, weights = load_nif_assets(asset_dir, jnp.bfloat16)
-        width = analyse_nif(weights, 1)["hidden_size"]
-        desc = f"trained 6x{width} NIF env"
+        info = analyse_nif(weights, 1)
+        # layers counts Dense layers incl. the 3-wide output head; the
+        # architecture name convention (6x320 etc.) counts hidden layers:
+        arch = f"{info['layers'] - 1}x{info['hidden_size']}"
+        desc = f"trained {arch} NIF env"
         if meta.embedding_dimension != 12:
             desc += f" (E={meta.embedding_dimension})"
-        if width == 192:
+        if os.path.basename(asset_dir) == "nif_w192e16":
             desc += (" (reconstruction PSNR 60.15 dB > canonical 6x320's "
                      "59.2 at matched recipe; docs/NIF_WIDTHS.json)")
         print(f"bench NIF: {desc} ({asset_dir})", file=sys.stderr)

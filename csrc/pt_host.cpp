@@ -55,6 +55,10 @@ void pt_accumulate(const std::uint8_t* recordBytes, std::int64_t numRecords,
 // SoA variant of pt_accumulate for the device-film fetch path: sample
 // counts arrive as full-width int32 (the 20-byte wire record's u16
 // sampleCount clips at 65535, which a device-resident film exceeds).
+// PRECONDITION: (u,v) pairs are unique across records (worklists are
+// pixel permutations plus skipped padding; core/records.raster_permutation
+// asserts this).  Duplicates would race the unguarded += under OpenMP;
+// callers merging batches must accumulate them in separate calls.
 void pt_accumulate_soa(const std::int32_t* u, const std::int32_t* v,
                        const float* r, const float* g, const float* b,
                        const std::int32_t* sampleCount,

@@ -98,7 +98,9 @@ class Film:
         u = np.asarray(u).astype(np.int64)
         v = np.asarray(v).astype(np.int64)
         cnt = np.asarray(sample_count).astype(np.int64)
-        ok = (u < self.width) & (v < self.height) & (cnt > 0)
+        # Mirror the C++ kernel's bounds exactly (incl. negatives, which
+        # would otherwise wrap via int64 indexing in np.add.at):
+        ok = (u >= 0) & (u < self.width) & (v >= 0) & (v < self.height) & (cnt > 0)
         scale = np.zeros(len(u), np.float32)
         np.divide(1.0, cnt, out=scale, where=cnt > 0)
         rgb = (

@@ -396,14 +396,18 @@ def render_step_impl(
         from ..ops.megastep_pallas import render_megastep_pallas
 
         if host_noise:
+            # block_size only overridden for emulation; on TPU the
+            # kernel's tuned default applies (single source of truth).
+            kw = {"block_size": _INTERPRET_BLOCK} if interp else {}
             out = render_megastep_pallas(
                 scene, settings, env.params, cols, rows,
                 noise=step_noise(step_key, cols.shape[0], cfg),
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
-                block_size=_INTERPRET_BLOCK if interp else 2048,
                 interpret=interp,
+                stub=cfg.megastep_stub or None,
+                **kw,
             )
             spp = jnp.int32(cfg.pallas_interpret)
         else:

@@ -100,7 +100,14 @@ def accumulate_soa(u, v, r, g, b, sample_count, hdr: np.ndarray) -> bool:
     f32 = lambda a: np.ascontiguousarray(a, np.float32)
     u, v, cnt = i32(u), i32(v), i32(sample_count)
     r, g, b = f32(r), f32(g), f32(b)
-    assert hdr.flags["C_CONTIGUOUS"] and hdr.dtype == np.float32
+    lengths = {len(a) for a in (u, v, r, g, b, cnt)}
+    if len(lengths) != 1:
+        # The C++ kernel trusts numRecords = len(u); a shorter sibling
+        # array would be read past its end.
+        raise ValueError(f"accumulate_soa: mismatched array lengths {lengths}")
+    if not (hdr.flags["C_CONTIGUOUS"] and hdr.dtype == np.float32
+            and hdr.ndim == 3 and hdr.shape[2] == 3):
+        raise ValueError("accumulate_soa: hdr must be C-contiguous f32 (H,W,3)")
     i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.pt_accumulate_soa(

@@ -63,6 +63,15 @@ def measure_phases(scene, settings, cfg, work, step_key, env, mesh=None,
     from ..render.wavefront import render_step_impl
 
     n_pixels = int(work.u.shape[0])
+    if cfg.pallas_interpret > 0 and cfg.use_pallas:
+        # Host-noise parity mode renders exactly cfg.pallas_interpret
+        # samples per step regardless of samples_per_step
+        # (render/wavefront.render_step_impl), so time that many - else
+        # the per-sample division would be off by loop/pallas_interpret.
+        loop = int(cfg.pallas_interpret)
+        logger().info(
+            "device-timing: host-noise mode, timing %d samples/step", loop
+        )
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     fused = use_pallas and cfg.use_fused_step and isinstance(env, NifEnv)
     # Paths per dispatched sample: a samples mesh axis renders the same
