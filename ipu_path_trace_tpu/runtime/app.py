@@ -333,6 +333,44 @@ class PathTracerApp:
         # natural finish - would otherwise leave -o empty; the exit save
         # below persists whatever the film holds.
         disk_pending = {"norm": 0}
+        # --- mid-render checkpoint/resume (runtime/checkpoint.py) ---
+        # Step keys are fold_in(key, step), independent of history, so a
+        # resumed render continues bitwise-identically (for headless runs;
+        # interactive step sizes vary and carry no such claim).
+        start_step = 1
+        ckpt_written = {"step": 0}
+
+        def write_ckpt(at_step, *, hdr=None, soa=None):
+            if not cfg.checkpoint or at_step <= ckpt_written["step"]:
+                return
+            from .checkpoint import save_checkpoint
+
+            with self.trace.span("checkpoint"):
+                save_checkpoint(cfg.checkpoint, cfg, at_step, hdr=hdr, soa=soa)
+            ckpt_written["step"] = at_step
+
+        if cfg.resume:
+            from .checkpoint import load_checkpoint
+
+            done_step, mode, saved = load_checkpoint(cfg.resume, cfg)
+            if mode != ("soa" if device_film else "hdr"):
+                raise ValueError(
+                    f"checkpoint mode '{mode}' does not match this run")
+            if device_film:
+                from ..core.records import WorkBatch
+
+                work_dev_resident = WorkBatch(
+                    **{k: jnp.asarray(v) for k, v in saved.items()})
+                if self.mesh is not None:
+                    work_dev_resident = shard_work(work_dev_resident, self.mesh)
+                df_dirty = True
+            else:
+                film.hdr[...] = saved["hdr"]
+                disk_pending["norm"] = done_step  # not yet on disk here
+            start_step = done_step + 1
+            logger().info(
+                "Resumed from '%s': %d steps already rendered", cfg.resume,
+                done_step)
         settings_sig = None
         settings = None
         if cfg.profile_dir:
@@ -371,7 +409,7 @@ class PathTracerApp:
         start_time = time.monotonic()
         logger().info("Render started")
 
-        step = 1
+        step = start_step
         while step <= steps:
             loop_start = time.monotonic()
 
@@ -390,6 +428,7 @@ class PathTracerApp:
                         disk_pending["norm"] = 0  # film is empty again
                         balancer.clear_active_accumulators()
                         work_dev_resident = None  # device-film: re-upload cleared
+                        ckpt_written["step"] = 0  # restart: re-checkpoint from 1
                         start_time = time.monotonic()
                         step = 1
                         self.samples_per_step = state["interactive_samples"]
@@ -499,6 +538,7 @@ class PathTracerApp:
                             film.accumulate_soa(
                                 wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count
                             )
+                        write_ckpt(step, soa=wb._asdict())
                         disk_pending["norm"] = 1
                         if ui is not None:
                             ui.start_sending_raw_image(film.hdr_at_step(1))
@@ -555,6 +595,7 @@ class PathTracerApp:
                 with self.trace.span("clear_accumulators"):
                     total_rays["n"] = balancer.clear_inactive_accumulators()
                 if step % cfg.save_interval == 0 or step == steps:
+                    write_ckpt(step, hdr=film.hdr)
                     if ui is not None:
                         ui.start_sending_raw_image(film.hdr_at_step(step))
                     else:
@@ -594,9 +635,15 @@ class PathTracerApp:
                 wb = jax.tree.map(np.asarray, work_dev_resident)
                 film.reset()
                 film.accumulate_soa(wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count)
+            write_ckpt(step - 1, soa=wb._asdict())
             disk_pending["norm"] = 1
             if ui_server is not None:
                 ui_server.start_sending_raw_image(film.hdr_at_step(1))
+        if not device_film:
+            # Early stop between save-intervals: the film already holds
+            # every completed step (accumulated per step), so checkpoint
+            # it before the exit save.
+            write_ckpt(step - 1, hdr=film.hdr)
         # Persist anything the outfile does not have yet - an interrupted
         # render (remote stop / disconnect) and any UI-attached run whose
         # save-interval images were streamed rather than written must

@@ -116,6 +116,16 @@ def build_parser() -> argparse.ArgumentParser:
                           "buffer every step).  With --ui-port, previews are "
                           "tone-mapped on device (LDR bytes only).  "
                           "Incompatible with --enable-load-balancing.")
+    tpu.add_argument("--checkpoint", default="",
+                     help="Write the progressive render state to this .npz at "
+                          "every save-interval and at exit, so an interrupted "
+                          "render can be continued with --resume.  "
+                          "Incompatible with --enable-load-balancing.")
+    tpu.add_argument("--resume", default="",
+                     help="Continue a render from a --checkpoint file; the "
+                          "combined result is bitwise-identical to an "
+                          "uninterrupted run (the render config must match "
+                          "the checkpoint's fingerprint).")
     tpu.add_argument("--rng-impl", default="auto",
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "
@@ -169,6 +179,8 @@ def parse_config(argv=None) -> Config:
         focal_distance=args.focal_distance,
         device_film=args.device_film,
         scene=args.scene,
+        checkpoint=args.checkpoint,
+        resume=args.resume,
     )
     cfg.validate()
     return cfg

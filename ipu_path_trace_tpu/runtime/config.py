@@ -79,6 +79,12 @@ class Config:
     # JSON scene description (core/scenefile.py); "" = the reference's
     # hard-coded default scene (codelets.cpp:111-144).
     scene: str = ""
+    # Mid-render checkpoint/resume (runtime/checkpoint.py): --checkpoint
+    # writes the progressive state (.npz) at every save-interval and at
+    # exit; --resume continues from one bitwise-identically.  The
+    # reference can only restart from scratch (PathTracerApp.cpp:652-686).
+    checkpoint: str = ""
+    resume: str = ""
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:
@@ -94,6 +100,12 @@ class Config:
             raise ValueError("samples and samples-per-step must be >= 1")
         if self.save_interval < 1:
             raise ValueError("save-interval must be >= 1")
+        if (self.checkpoint or self.resume) and self.enable_load_balancing:
+            raise ValueError(
+                "--checkpoint/--resume are incompatible with "
+                "--enable-load-balancing (the per-step re-deal layout is "
+                "host-state the checkpoint does not capture)"
+            )
 
     def rounded_samples_per_pixel(self) -> int:
         """Round spp up to a multiple of samples-per-step

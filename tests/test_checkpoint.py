@@ -1,0 +1,88 @@
+"""Mid-render checkpoint / resume (--checkpoint / --resume).
+
+The contract (runtime/checkpoint.py): an interrupted-and-resumed
+headless render produces BITWISE-identical results to an uninterrupted
+one, in both film modes, because step keys are fold_in(base, step) and
+accumulation order is preserved.  The reference can only restart from
+scratch (PathTracerApp.cpp:652-686).
+"""
+
+import numpy as np
+import pytest
+
+from ipu_path_trace_tpu.runtime.app import PathTracerApp
+from ipu_path_trace_tpu.runtime.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from ipu_path_trace_tpu.runtime.config import Config
+
+
+def _cfg(tmp_path, tag, **kw):
+    base = dict(
+        outfile=str(tmp_path / f"ck_{tag}.png"),
+        assets="constant:0.8,0.7,0.6",
+        width=16,
+        height=16,
+        samples=8,
+        samples_per_step=2,
+        save_interval=2,
+        seed=5,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _run(cfg, max_steps=None):
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    return app.execute(max_steps=max_steps)
+
+
+@pytest.mark.parametrize("device_film", [False, True])
+def test_resume_bitwise_identical(tmp_path, device_film):
+    """4 steps straight == 2 steps + checkpoint + resume 2 steps, bitwise."""
+    tag = f"df{device_film}"
+    full = _run(_cfg(tmp_path, f"full_{tag}", device_film=device_film))
+    full_hdr = full.hdr_at_step(1 if device_film else 4).copy()
+
+    ck = str(tmp_path / f"state_{tag}.npz")
+    _run(
+        _cfg(tmp_path, f"a_{tag}", device_film=device_film, checkpoint=ck),
+        max_steps=2,
+    )
+    second = _run(
+        _cfg(tmp_path, f"b_{tag}", device_film=device_film, resume=ck)
+    )
+    resumed_hdr = second.hdr_at_step(1 if device_film else 4)
+    np.testing.assert_array_equal(resumed_hdr, full_hdr)
+    # The resumed run saves -o images at completion:
+    assert (tmp_path / f"ck_b_{tag}.png").exists()
+    assert (tmp_path / f"ck_b_{tag}.exr").exists()
+
+
+def test_resume_rejects_mismatched_config(tmp_path):
+    ck = str(tmp_path / "state.npz")
+    _run(_cfg(tmp_path, "base", checkpoint=ck), max_steps=2)
+    with pytest.raises(ValueError, match="does not match"):
+        _run(_cfg(tmp_path, "other", seed=6, resume=ck))
+
+
+def test_checkpoint_written_at_exit_between_intervals(tmp_path):
+    """max_steps=3 with save_interval=2: the exit path must checkpoint
+    step 3 (the last completed step), not leave step 2's file."""
+    ck = str(tmp_path / "state.npz")
+    cfg = _cfg(tmp_path, "exit", checkpoint=ck)
+    _run(cfg, max_steps=3)
+    step, mode, state = load_checkpoint(ck, cfg)
+    assert step == 3 and mode == "hdr" and "hdr" in state
+
+
+def test_checkpoint_validation():
+    cfg = Config(assets="constant:1,1,1", enable_load_balancing=True,
+                 checkpoint="x.npz")
+    with pytest.raises(ValueError, match="load-balancing"):
+        cfg.validate()
+    with pytest.raises(ValueError, match="exactly one"):
+        save_checkpoint("x.npz", cfg, 1)
