@@ -62,6 +62,22 @@ def test_resume_bitwise_identical(tmp_path, device_film):
     assert (tmp_path / f"ck_b_{tag}.exr").exists()
 
 
+def test_resume_on_mesh_bitwise(tmp_path):
+    """Device-film resume re-shards the restored worklist across the
+    8-device mesh and still reproduces the uninterrupted run exactly."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    mesh_kw = dict(device_film=True, ipus=8)
+    full = _run(_cfg(tmp_path, "mfull", **mesh_kw))
+    full_hdr = full.hdr_at_step(1).copy()
+    ck = str(tmp_path / "mesh_state.npz")
+    _run(_cfg(tmp_path, "ma", checkpoint=ck, **mesh_kw), max_steps=2)
+    second = _run(_cfg(tmp_path, "mb", resume=ck, **mesh_kw))
+    np.testing.assert_array_equal(second.hdr_at_step(1), full_hdr)
+
+
 def test_resume_rejects_mismatched_config(tmp_path):
     ck = str(tmp_path / "state.npz")
     _run(_cfg(tmp_path, "base", checkpoint=ck), max_steps=2)
