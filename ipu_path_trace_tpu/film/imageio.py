@@ -133,11 +133,37 @@ def read_exr(path: str) -> np.ndarray:
     return np.stack([out["R"], out["G"], out["B"]], axis=-1)
 
 
+def load_hdr_image(path: str) -> np.ndarray:
+    """Read an HDR/LDR image as float32 radiance (H, W, 3).
+
+    EXRs go through the built-in reader; everything else through
+    imageio.  Integer-typed files carry the 0..255 encoding and are
+    scaled to [0, 1]; float files (e.g. Radiance .hdr) are radiance
+    already and must NOT be divided - one rule, shared by the --assets
+    texture path and the NIF trainer.
+    """
+    if path.endswith(".exr"):
+        return read_exr(path)
+    import imageio.v3 as iio
+
+    raw = iio.imread(path)
+    img = np.asarray(raw, np.float32)
+    if np.issubdtype(np.asarray(raw).dtype, np.integer):
+        img = img / 255.0
+    return img
+
+
 def save_images(path: str, hdr_at_step: np.ndarray, ldr: np.ndarray) -> None:
     """Write <path> (PNG, tone-mapped) and <base>.exr (HDR / step).
 
     Mirrors AccumulatedImage::saveImages (AccumulatedImage.cpp:48-56).
+    An ``.exr`` outfile gets the HDR at that exact path and the
+    tone-mapped PNG alongside (PIL cannot encode EXR).
     """
+    base, ext = os.path.splitext(path)
+    if ext.lower() == ".exr":
+        write_exr(path, hdr_at_step)
+        write_png(base + ".png", ldr)
+        return
     write_png(path, ldr)
-    base = os.path.splitext(path)[0]
     write_exr(base + ".exr", hdr_at_step)

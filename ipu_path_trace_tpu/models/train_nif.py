@@ -206,19 +206,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    if args.input.endswith(".exr"):
-        from ..film.imageio import read_exr
+    from ..film.imageio import load_hdr_image
 
-        img = read_exr(args.input)
-    else:
-        import imageio.v3 as iio
-
-        raw = iio.imread(args.input)
-        img = np.asarray(raw, np.float32)
-        # Integer images carry the 0..255 encoding; float images (e.g.
-        # Radiance .hdr) are radiance already (same rule as runtime/app.py):
-        if np.issubdtype(np.asarray(raw).dtype, np.integer):
-            img = img / 255.0
+    img = load_hdr_image(args.input)
     sizes: int | Sequence[int] = args.layer_size
     if args.layer_sizes:
         sizes = [int(t) for t in args.layer_sizes.split(",")]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..core.records import from_device_batch, to_device_batch
 from ..core.scene import default_scene
 from ..film.film import Film
-from ..film.imageio import read_exr, save_images
+from ..film.imageio import save_images
 from ..models.envlight import ConstantEnv, NifEnv, TextureEnv
 from ..models.nif import analyse_nif, load_nif_assets
 from ..parallel.mesh import make_mesh, make_step_fn, replicate, shard_work
@@ -81,19 +81,9 @@ def parse_env_assets(assets: str, partials_type: str = "half"):
             raise ValueError("constant env expects 'constant:R,G,B'")
         return ConstantEnv(colour=jnp.asarray(rgb, jnp.float32)), None
     if assets.startswith("texture:"):
-        path = assets.split(":", 1)[1]
-        if path.endswith(".exr"):
-            img = read_exr(path)
-        else:
-            import imageio.v3 as iio
+        from ..film.imageio import load_hdr_image
 
-            raw = iio.imread(path)
-            img = np.asarray(raw, np.float32)
-            # Only integer images carry the 0..255 encoding; float images
-            # (e.g. Radiance .hdr) are radiance already - dividing them
-            # would darken genuine HDR content.
-            if np.issubdtype(np.asarray(raw).dtype, np.integer):
-                img = img / 255.0
+        img = load_hdr_image(assets.split(":", 1)[1])
         return TextureEnv(texture=jnp.asarray(img, jnp.float32)), None
     dtype = jnp.bfloat16 if partials_type == "half" else jnp.float32
     params, meta, weights = load_nif_assets(assets, dtype)
@@ -125,6 +115,7 @@ class PathTracerApp:
             self.scene = default_scene()
         self.env = None
         self.nif_info = None
+        self.active_assets = config.assets
         self.mesh = None
         self.film: Film | None = None
         self.balancer: LoadBalancer | None = None
@@ -144,7 +135,13 @@ class PathTracerApp:
                 spp,
             )
         self.total_spp = spp
-        self.load_env(cfg.assets)
+        if not self.load_env(cfg.assets):
+            # Fail fast at startup (the UI hot-swap path tolerates a
+            # failed reload and keeps the current env; a run that never
+            # had one would only die later, mid-execute, with a
+            # misleading error after paying the full compile).
+            raise ValueError(
+                f"could not load environment from --assets '{cfg.assets}'")
 
     def load_env(self, assets: str) -> bool:
         """(Re)load the environment light; returns False on failure
@@ -154,6 +151,9 @@ class PathTracerApp:
         except Exception as e:
             logger().error("Could not load NIF model from '%s'. Exception: %s", assets, e)
             return False
+        # The checkpoint fingerprint must record what actually lights the
+        # render, which a UI hot-swap can change away from cfg.assets:
+        self.active_assets = assets
         if self.nif_info is not None:
             meta, weights = self.nif_info
             info = analyse_nif(weights, self.cfg.width * self.cfg.height)
@@ -346,7 +346,15 @@ class PathTracerApp:
             from .checkpoint import save_checkpoint
 
             with self.trace.span("checkpoint"):
-                save_checkpoint(cfg.checkpoint, cfg, at_step, hdr=hdr, soa=soa)
+                save_checkpoint(
+                    cfg.checkpoint, cfg, at_step, hdr=hdr, soa=soa,
+                    # Record what actually lit these samples - the UI can
+                    # mutate fov/rotation/assets away from cfg mid-render:
+                    fingerprint_overrides={
+                        "fov": float(state["fov"]),
+                        "env_map_rotation": float(state["env_rotation"]),
+                        "assets": self.active_assets,
+                    })
             ckpt_written["step"] = at_step
 
         if cfg.resume:
@@ -432,7 +440,12 @@ class PathTracerApp:
                         start_time = time.monotonic()
                         step = 1
                         self.samples_per_step = state["interactive_samples"]
-            elif step == SAMPLE_COUNT_REVERSION_STEP and self.interactive:
+            elif (step >= SAMPLE_COUNT_REVERSION_STEP and self.interactive
+                  and self.samples_per_step != cfg.samples_per_step):
+                # >= not ==: a UI event landing exactly on the reversion
+                # step consumes that iteration's branch, and the render
+                # must still revert on the next one (else it would finish
+                # at interactive_samples forever).
                 self.samples_per_step = cfg.samples_per_step
                 self.interactive = ui_server is not None
                 logger().debug(
@@ -676,20 +689,41 @@ class PathTracerApp:
         if ui_state.get("detach"):
             logger().info("Remote UI disconnected.")
             return "disconnected"
+        nif_failed = False
         new_nif = ui_state.get("load_nif")
         if new_nif:
             logger().info("Loading NIF: %s", new_nif)
-            if self.load_env(new_nif) and self.mesh is not None:
-                # build() replicated the original env over the mesh; a
-                # reloaded one must be too or shard_map rejects it:
-                self.env = replicate(self.env, self.mesh)
+            if self.load_env(new_nif):
+                if self.mesh is not None:
+                    # build() replicated the original env over the mesh; a
+                    # reloaded one must be too or shard_map rejects it:
+                    self.env = replicate(self.env, self.mesh)
+            else:
+                nif_failed = True  # env unchanged; don't discard the film
         for k_src, k_dst in (
             ("env_rotation", "env_rotation"),
             ("exposure", "exposure"),
             ("gamma", "gamma"),
             ("fov", "fov"),
-            ("interactive_samples", "interactive_samples"),
         ):
             if k_src in ui_state:
                 state[k_dst] = ui_state[k_src]
+        if "interactive_samples" in ui_state:
+            # Wire values are untrusted: <1 would render zero-sample
+            # steps, and on a sample mesh axis a non-divisible count
+            # would raise out of settings() and kill the whole render.
+            v = int(ui_state["interactive_samples"])
+            try:
+                if v < 1:
+                    raise ValueError("must be >= 1")
+                self.local_samples(v)
+                state["interactive_samples"] = v
+            except ValueError as e:
+                logger().warning(
+                    "Ignoring invalid interactive_samples=%r from UI: %s",
+                    v, e)
+        if nif_failed and set(ui_state) <= {"load_nif", "exposure", "gamma"}:
+            # The only render-affecting request failed: keep the
+            # accumulated film instead of a restart that changes nothing.
+            return "none"
         return "restart"

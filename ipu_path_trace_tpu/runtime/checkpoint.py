@@ -50,12 +50,23 @@ _FINGERPRINT_FIELDS = (
 _FORMAT = 1
 
 
-def render_fingerprint(cfg) -> dict:
-    return {f: getattr(cfg, f) for f in _FINGERPRINT_FIELDS}
+def render_fingerprint(cfg, overrides: dict | None = None) -> dict:
+    """Numerics identity of a render.  ``overrides`` substitutes live
+    values for fields the remote UI can mutate away from cfg (fov,
+    env_map_rotation, a hot-swapped assets dir) so the fingerprint
+    records what actually lit the saved samples."""
+    fp = {f: getattr(cfg, f) for f in _FINGERPRINT_FIELDS}
+    if overrides:
+        unknown = set(overrides) - set(_FINGERPRINT_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown fingerprint fields: {unknown}")
+        fp.update(overrides)
+    return fp
 
 
 def save_checkpoint(path: str, cfg, step: int, *, hdr: np.ndarray | None = None,
-                    soa: dict[str, np.ndarray] | None = None) -> None:
+                    soa: dict[str, np.ndarray] | None = None,
+                    fingerprint_overrides: dict | None = None) -> None:
     """Write the progressive state at completed step ``step``.
 
     Exactly one of ``hdr`` (step-wise film sum) / ``soa`` (device-film
@@ -68,7 +79,7 @@ def save_checkpoint(path: str, cfg, step: int, *, hdr: np.ndarray | None = None,
         "format": _FORMAT,
         "step": int(step),
         "mode": "soa" if soa is not None else "hdr",
-        "fingerprint": render_fingerprint(cfg),
+        "fingerprint": render_fingerprint(cfg, fingerprint_overrides),
     }
     arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), np.uint8)}
     if hdr is not None:

@@ -210,7 +210,13 @@ def main(argv=None) -> int:
             ui_server = InterfaceServer(cfg.ui_port)
             ui_server.start()
             logger().info("Waiting for remote UI client to connect...")
-            ui_server.wait_for_client()
+            if not ui_server.wait_for_client():
+                # A failed bind (port in use) must not silently degrade
+                # into a headless interactive-rate render:
+                ui_server.stop()
+                raise RuntimeError(
+                    f"UI server failed to accept a client on port "
+                    f"{cfg.ui_port} (port in use?)")
             ui_server.initialise_video_stream(cfg.width, cfg.height)
         try:
             app.execute(ui_server=ui_server)

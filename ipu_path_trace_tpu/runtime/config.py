@@ -98,6 +98,13 @@ class Config:
             raise ValueError("the option '--assets' is required but missing")
         if self.samples_per_step < 1 or self.samples < 1:
             raise ValueError("samples and samples-per-step must be >= 1")
+        if self.samples_per_step > 0xFFFF and not self.device_film:
+            # The step-wise host pipeline rides the 20-byte wire record,
+            # whose u16 sampleCount clips at 65535 and would silently
+            # brighten the image; the device-film path keeps int32 counts.
+            raise ValueError(
+                "samples-per-step > 65535 needs --device-film (the u16 "
+                "wire sampleCount would clip)")
         if self.save_interval < 1:
             raise ValueError("save-interval must be >= 1")
         if (self.checkpoint or self.resume) and self.enable_load_balancing:

@@ -67,6 +67,33 @@ def test_save_images(tmp_path):
     assert np.asarray(Image.open(out))[0, 0, 0] == 128
 
 
+def test_save_images_exr_outfile(tmp_path):
+    """-o render.exr must put the HDR at that exact path (PIL cannot
+    encode EXR) with the tone-mapped PNG alongside."""
+    from ipu_path_trace_tpu.film.imageio import read_exr
+
+    hdr = np.full((8, 8, 3), 2.5, np.float32)
+    ldr = np.full((8, 8, 3), 10, np.uint8)
+    save_images(str(tmp_path / "render.exr"), hdr, ldr)
+    assert (tmp_path / "render.png").exists()
+    np.testing.assert_array_equal(read_exr(str(tmp_path / "render.exr")), hdr)
+
+
+def test_load_hdr_image_scaling_rule(tmp_path):
+    """Integer files are 0..255-encoded; float files are radiance and
+    must NOT be divided (one rule for --assets texture and the trainer)."""
+    from ipu_path_trace_tpu.film.imageio import load_hdr_image, write_exr
+
+    exr = str(tmp_path / "a.exr")
+    write_exr(exr, np.full((4, 4, 3), 7.5, np.float32))
+    assert load_hdr_image(exr).max() == 7.5
+    from PIL import Image
+
+    png = str(tmp_path / "a.png")
+    Image.fromarray(np.full((4, 4, 3), 255, np.uint8)).save(png)
+    np.testing.assert_allclose(load_hdr_image(png).max(), 1.0)
+
+
 def test_nif_h5_roundtrip(tmp_path):
     weights, meta = make_synthetic_nif(key=1, hidden=32, num_hidden=2, embedding_dim=4)
     h5 = str(tmp_path / "converted.hdf5")

@@ -151,6 +151,47 @@ def test_cli_requires_assets_and_outfile():
         parse_config(["--assets", "constant:1,1,1"])  # missing -o
 
 
+def test_bad_assets_fail_fast():
+    """init() must reject an unloadable --assets before build/compile
+    (loadNifModels fail-fast semantics, PathTracerApp.cpp:106-123)."""
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+
+    app = PathTracerApp(Config(assets="/nonexistent/nif_dir"))
+    with pytest.raises(ValueError, match="could not load environment"):
+        app.init()
+
+
+def test_stepwise_spp_wire_clip_rejected():
+    cfg = Config(assets="constant:1,1,1", samples=70000,
+                 samples_per_step=70000)
+    with pytest.raises(ValueError, match="65535"):
+        cfg.validate()
+    # device-film keeps int32 counts; the same step size is allowed:
+    Config(assets="constant:1,1,1", samples=70000, samples_per_step=70000,
+           device_film=True).validate()
+
+
+def test_failed_nif_hotswap_keeps_film():
+    """A UI load_nif with a bad path must not trigger a film-destroying
+    restart; valid field updates alongside it still restart."""
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+
+    app = PathTracerApp(Config(assets="constant:1,1,1"))
+    app.init()
+    env_before = app.env
+    state = {"interactive_samples": 8}
+    assert app._process_user_input(
+        {"load_nif": "/nonexistent"}, state, None) == "none"
+    assert app.env is env_before
+    # A failed swap combined with a real change still restarts:
+    assert app._process_user_input(
+        {"load_nif": "/nonexistent", "fov": 60.0}, state, None) == "restart"
+    # Invalid interactive sample counts from the wire are ignored:
+    app._process_user_input({"interactive_samples": 0, "fov": 50.0},
+                            state, None)
+    assert state["interactive_samples"] == 8
+
+
 def test_spp_rounding():
     cfg = Config(samples=1000, samples_per_step=300, assets="constant:1,1,1")
     # roundSamplesPerPixel: 1000 -> 1200 (PathTracerApp.cpp:19-27)
