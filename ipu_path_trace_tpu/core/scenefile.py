@@ -43,7 +43,13 @@ def _vec3(obj: dict, key: str, idx: int) -> tuple[float, float, float]:
     v = obj.get(key)
     if not isinstance(v, (list, tuple)) or len(v) != 3:
         raise ValueError(f"objects[{idx}].{key} must be a list of 3 numbers")
-    return tuple(float(x) for x in v)
+    try:
+        return tuple(float(x) for x in v)
+    except (TypeError, ValueError):
+        # float(None)/float([]) raise TypeError, which would escape
+        # load_scene's ValueError wrapper and lose the file/index context:
+        raise ValueError(
+            f"objects[{idx}].{key} must contain only numbers, got {v!r}")
 
 
 def scene_from_dict(doc: dict[str, Any]) -> Scene:
@@ -65,7 +71,12 @@ def scene_from_dict(doc: dict[str, Any]) -> Scene:
                 f"objects[{i}].material must be one of {sorted(_MATERIALS)}, "
                 f"got {mat_name!r}"
             )
-        radius = float(obj.get("radius", 0.0))
+        try:
+            radius = float(obj.get("radius", 0.0))
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"objects[{i}].radius must be a number, "
+                f"got {obj.get('radius')!r}")
         if radius <= 0.0:
             raise ValueError(f"objects[{i}].radius must be > 0")
         colour = _vec3(obj, "colour", i) if "colour" in obj else (1.0, 1.0, 1.0)

@@ -232,9 +232,12 @@ def trace_sample_oracle(
     r = rows.astype(np.float32) + aa_scale * aa[1]
     d = _camera_rays(c, r, float(width), float(height), fov)
     o = np.zeros((p, 3), np.float32)
-    if lens is not None:
+    if lens is not None and aperture > 0.0:
         # Thin-lens DoF (wavefront.apply_thin_lens): jitter the origin on
         # an aperture disk and refocus through the plane z = -focal.
+        # aperture == 0 must keep the pinhole (o, d) BIT-exact like the
+        # jax path's dof select - the refocus renormalisation would flip
+        # last ulps and spuriously diverge knife-edge lanes.
         lr = aperture * np.sqrt(lens[0])
         lphi = 2.0 * np.pi * lens[1]
         o[:, 0] = lr * np.cos(lphi)

@@ -131,30 +131,33 @@ def equirect_from_dir(dx, dy, dz, azimuth):
 
 
 def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
-              w_refs, b_refs):
+              w_refs, b_refs, upcast_dot: bool = False):
     """Encode -> matmul chain -> decode on (B,) uv vectors; returns (3, B).
 
     Shared by the plain inference kernel and the fused env-shading
-    kernel below.
+    kernel below.  ``upcast_dot`` must be set in interpret mode (see
+    nif_layer; the megastep kernel guards the same way).
     """
     feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
     x = feats  # (feat_dim, B)
     for i in range(num_layers):
-        x = nif_layer(x, feats, w_refs[i], b_refs[i], i == num_layers - 1)
+        x = nif_layer(x, feats, w_refs[i], b_refs[i], i == num_layers - 1,
+                      upcast_dot=upcast_dot)
     return nif_decode(x, scal_ref)
 
 
-def _kernel(num_layers: int, embedding_dim: int,
+def _kernel(num_layers: int, embedding_dim: int, upcast_dot: bool,
             u_ref, v_ref, scal_ref, *refs):
     w_refs = refs[:num_layers]          # (out, in) each
     b_refs = refs[num_layers : 2 * num_layers]  # (out, 1) each
     out_ref = refs[2 * num_layers]      # (3, B)
     out_ref[:] = _mlp_core(
-        num_layers, embedding_dim, u_ref[:], v_ref[:], scal_ref, w_refs, b_refs
+        num_layers, embedding_dim, u_ref[:], v_ref[:], scal_ref, w_refs,
+        b_refs, upcast_dot,
     )
 
 
-def _env_shade_kernel(num_layers: int, embedding_dim: int,
+def _env_shade_kernel(num_layers: int, embedding_dim: int, upcast_dot: bool,
                       escd_ref, escw_ref, scal_ref, *refs):
     """Equirect UV from escaped-ray directions -> NIF -> apply weights.
 
@@ -174,7 +177,8 @@ def _env_shade_kernel(num_layers: int, embedding_dim: int,
     u, v = equirect_from_dir(
         escd_ref[0, :], escd_ref[1, :], escd_ref[2, :], scal_ref[0, 5]
     )
-    out = _mlp_core(num_layers, embedding_dim, u, v, scal_ref, w_refs, b_refs)
+    out = _mlp_core(num_layers, embedding_dim, u, v, scal_ref, w_refs,
+                    b_refs, upcast_dot)
     # bgr -> rgb + throughput weights (esc_w rows are zero unless escaped):
     out_ref[:] = jnp.stack(
         [escw_ref[0, :] * out[2], escw_ref[1, :] * out[1], escw_ref[2, :] * out[0]],
@@ -219,7 +223,8 @@ def nif_apply_pallas_t(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_layers, params.embedding_dim),
+        functools.partial(_kernel, num_layers, params.embedding_dim,
+                          interpret),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         grid=grid,
         in_specs=[
@@ -291,7 +296,8 @@ def nif_env_shade_pallas(
     rows3 = pl.BlockSpec((3, block_size), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_env_shade_kernel, num_layers, params.embedding_dim),
+        functools.partial(_env_shade_kernel, num_layers,
+                          params.embedding_dim, interpret),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         grid=grid,
         in_specs=[

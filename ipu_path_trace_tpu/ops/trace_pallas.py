@@ -373,7 +373,7 @@ def _kernel(
     aa_noise_type: str,
     host_noise: bool,
     # refs:
-    fpar_ref,  # SMEM (1, 8) f32: tanfov_x tanfov_y aa_scale refr stop_prob
+    fpar_ref,  # SMEM (1, 8) f32: tanfov_x tanfov_y aa_scale refr stop_prob aperture focal
     ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed
     sph_ref,  # SMEM (1, num_s*12)
     dsc_ref,  # SMEM (1, num_d*15)

@@ -104,6 +104,10 @@ def test_roundtrips_default_scene(tmp_path):
         ({"objects": [_obj(material="metal")]}, "material"),
         ({"objects": [_obj(radius=0)]}, "radius"),
         ({"objects": [_obj(center=[1, 2])]}, "center"),
+        # Non-numeric entries must raise ValueError (not TypeError, which
+        # would escape load_scene's file-context wrapper):
+        ({"objects": [_obj(center=[1, 2, None])]}, "only numbers"),
+        ({"objects": [_obj(radius=None)]}, "radius must be a number"),
     ],
 )
 def test_rejects_bad_documents(doc, msg):
