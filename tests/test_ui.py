@@ -323,3 +323,25 @@ def test_port_in_use_fails_fast():
         server.stop()
     finally:
         blocker.close()
+
+
+def test_turntable_animation(tmp_path):
+    """scripts/turntable.py: the azimuth sweep produces a parseable MP4
+    whose frames actually differ (the env visibly rotates)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from turntable import render_turntable
+
+    from ipu_path_trace_tpu.ui.video import iter_mp4_samples
+
+    out = str(tmp_path / "tt.mp4")
+    render_turntable(width=32, height=32, spp=4, frames=3, fps=8,
+                     assets="texture:assets/procedural_sky.exr",
+                     outfile=out, codec="mjpeg")
+    data = open(out, "rb").read()
+    samples = list(iter_mp4_samples(data))
+    assert len(samples) == 3
+    # JPEG SOI marker per sample; successive frames must not be equal:
+    assert all(s[:2] == b"\xff\xd8" for s in samples)
+    assert samples[0] != samples[1] != samples[2]
