@@ -151,3 +151,59 @@ def test_megastep_zero_samples():
     )
     assert float(jnp.abs(out.radiance.x).max()) == 0.0
     assert int(jnp.abs(out.path_len).max()) == 0
+
+
+def test_render_step_host_noise_forwards_stub():
+    """Regression: the host-noise branch of render_step_impl must forward
+    cfg.megastep_stub to the kernel (the --device-timing in-kernel split
+    times cfg._replace(megastep_stub=...) through this exact path)."""
+    from ipu_path_trace_tpu.core.records import to_device_batch
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step_impl
+
+    scene = default_scene()
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    work = to_device_batch(make_worklist(W, H))
+    key = make_base_key(3)
+
+    def run(stub):
+        cfg = StaticConfig(
+            width=W, height=H, max_path_length=MAXLEN,
+            pallas_interpret=2, megastep_stub=stub,
+        )
+        out = render_step_impl(
+            scene, RenderSettings.make(samples_per_step=2), cfg, work, key, env
+        )
+        return np.asarray(out.r)
+
+    full = run("")
+    skeleton = run("both")
+    assert full.any()
+    # A forwarded 'both' stub zeroes the trace + NIF work; if the stub
+    # were dropped the two runs would be identical:
+    assert not np.array_equal(full, skeleton)
+
+
+def test_devtime_host_noise_sample_count():
+    """measure_phases must time pallas_interpret samples in host-noise
+    mode (samples_per_step is ignored by that path)."""
+    from ipu_path_trace_tpu.core.records import to_device_batch
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.render.wavefront import make_base_key
+    from ipu_path_trace_tpu.utils.devtime import measure_phases
+
+    scene = default_scene()
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN,
+                       pallas_interpret=2)
+    settings = RenderSettings.make(samples_per_step=2)
+    work = to_device_batch(make_worklist(W, H))
+    split = measure_phases(scene, settings, cfg, work, make_base_key(1), env,
+                           loop=300, reps=1)
+    assert split["step_ms"] > 0 and np.isfinite(split["mpaths_per_sec"])
+    # Interpret-mode kernels are ~1000x slower than XLA; if the division
+    # used loop=300 instead of the 2 actually rendered, step_ms would be
+    # implausibly tiny (< 150x smaller). Bound loosely:
+    assert split["step_ms"] > 0.05
