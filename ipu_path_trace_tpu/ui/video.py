@@ -201,8 +201,9 @@ class Fmp4MjpegEncoder:
         self._seq += 1
         return chunks
 
-    def close(self) -> None:  # symmetric with FfmpegH264Encoder
-        pass
+    def close(self) -> list[bytes]:  # symmetric with FfmpegH264Encoder
+        """No buffering: every fragment is returned from encode()."""
+        return []
 
 
 class FfmpegH264Encoder:
@@ -253,7 +254,10 @@ class FfmpegH264Encoder:
             out.append(self._chunks.popleft())
         return out
 
-    def close(self) -> None:
+    def close(self) -> list[bytes]:
+        """Finish the stream and return any trailing encoded bytes the
+        codec emitted after the last encode() call (x264 buffers frames;
+        dropping the tail would truncate a written MP4)."""
         if self._proc.stdin:
             try:
                 self._proc.stdin.close()
@@ -261,6 +265,10 @@ class FfmpegH264Encoder:
                 pass
         self._proc.wait(timeout=10)
         self._reader.join(timeout=10)
+        out = []
+        while self._chunks:
+            out.append(self._chunks.popleft())
+        return out
 
 
 def make_encoder(width: int, height: int, fps: int = 24):

@@ -4,8 +4,10 @@ Measured (v5e, 1104x1000, block 2048): splits 3/4/6 are equivalent at
 ~8.9 ms/sample; split 2 is ~1% worse. The default formula
 (1 + (L-1)//3 = 4 for L=10) stands.
 """
+import os
 import sys, time
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 import jax, jax.numpy as jnp
 from ipu_path_trace_tpu.ops.megastep_pallas import render_megastep_pallas
 from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch

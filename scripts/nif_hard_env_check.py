@@ -107,7 +107,14 @@ def main() -> int:
         print(json.dumps(entry))
 
     out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
-    data = json.load(open(out_path))
+    # Hours of training precede this point; a missing/corrupt artifact
+    # must not lose the run (same guard as nif_width_sweep.py):
+    try:
+        data = json.load(open(out_path))
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"warning: could not read {out_path} ({e}); starting fresh",
+              file=sys.stderr)
+        data = {}
     if isinstance(data, list):
         data = {"procedural_sky": data}
     # Merge by (width, E) so E-probes don't clobber earlier rows:

@@ -197,12 +197,16 @@ def main() -> int:
             tag += f"e{args.embedding_dim}"
         out_dir = os.path.join(REPO, "assets", tag)
         if not (spec == 320 and layer_count == 6 and args.embedding_dim == 12):
+            # Record an actually-replayable CLI invocation (input/out_dir
+            # are positionals; include every non-default knob used):
             save_assets(out_dir, weights, meta, [
-                "train_nif.py", "--layer-count", str(layer_count),
-                *size_args, "--embedding-dimension",
-                str(args.embedding_dim),
-                "--epochs", str(args.epochs), "--input",
-                "assets/procedural_sky.exr",
+                "python", "-m", "ipu_path_trace_tpu.models.train_nif",
+                "assets/procedural_sky.exr", os.path.relpath(out_dir, REPO),
+                "--layer-count", str(layer_count), *size_args,
+                "--embedding-dimension", str(args.embedding_dim),
+                "--epochs", str(args.epochs),
+                "--batch-size", str(args.batch_size),
+                *(["--cosine-decay"] if args.cosine_decay else []),
             ])
         params = make_params(weights, meta, jnp.bfloat16)
         recon = reconstruct_image(params, h, w)

@@ -13,6 +13,7 @@ they serialise and fusion buys only glue.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -22,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 B = 4096
 GRID = 270  # ~1104x1000 / 4096

@@ -11,6 +11,7 @@ each adding one megastep ingredient:
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -20,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 B = 4096
 GRID = 270

@@ -68,11 +68,7 @@ def render_turntable(width: int, height: int, spp: int, frames: int,
         if i % 10 == 0:
             print(f"frame {i}/{frames} ({time.monotonic()-t0:.1f}s)",
                   file=sys.stderr)
-    enc.close()
-    # Drain anything the encoder produced after the final frame:
-    tail = getattr(enc, "_chunks", None)
-    while tail:
-        chunks.append(tail.popleft())
+    chunks += enc.close()  # trailing codec output (x264 buffers frames)
     with open(outfile, "wb") as f:
         for c in chunks:
             f.write(c)

@@ -123,19 +123,27 @@ def main() -> int:
         # (reference: PathTracerApp.cpp:548-557).  Previews must resume
         # with the swapped environment.
         alt = os.path.join(REPO, "assets", "nif_w256e16")
+        p_swap = client.progress
         client.load_nif(alt)
         n2 = client.preview_count
         t2 = time.monotonic()
+        swap_restarted = False
         swapped = False
         while time.monotonic() - t2 < 300:
             if proc.poll() is not None:
                 print("[probe] FAIL: render process died during NIF swap")
                 return 1
-            if client.preview_count > n2 + 1:
+            # The swap must actually take effect (restart resets the
+            # accumulator, so progress drops) - previews resuming alone
+            # would also pass if load_nif were silently dropped:
+            if client.progress < p_swap:
+                swap_restarted = True
+            if swap_restarted and client.preview_count > n2 + 1:
                 swapped = True
                 break
             time.sleep(0.5)
         print(json.dumps({"phase": "load_nif_hot_swap", "ok": swapped,
+                          "restart_seen": swap_restarted,
                           "resume_latency_s": round(time.monotonic() - t2, 1)}))
 
         # Phase 5: remote stop; the app must exit cleanly and still save
