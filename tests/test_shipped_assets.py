@@ -54,3 +54,39 @@ def test_shipped_nif_asset(name, hidden, embed):
     assert np.isfinite(out).all()
     assert out.min() > 0.0  # log-tone-mapped skies decode through exp()
     assert out.max() < 1e5
+
+
+@pytest.mark.parametrize("name", sorted(set(ASSETS) - {"procedural_sky_nif"}))
+def test_train_command_is_replayable(name):
+    """The recorded train_command must parse through the real trainer CLI
+    and describe the shipped architecture (the r2-era canonical asset
+    keeps its historical command and is exempt)."""
+    import json
+
+    meta = json.load(open(os.path.join(REPO, "assets", name,
+                                       "nif_metadata.txt")))
+    cmd = meta["train_command"]
+    assert cmd[:3] == ["python", "-m", "ipu_path_trace_tpu.models.train_nif"]
+    argv = cmd[3:]
+
+    import argparse
+
+    # Mirror of the trainer's CLI (models/train_nif.py:193-207); if the
+    # trainer's flags change, update both and regenerate the metadata:
+    src_parser = argparse.ArgumentParser()
+    src_parser.add_argument("input")
+    src_parser.add_argument("out_dir")
+    src_parser.add_argument("--layer-size", type=int, default=320)
+    src_parser.add_argument("--layer-sizes", type=str, default=None)
+    src_parser.add_argument("--layer-count", type=int, default=6)
+    src_parser.add_argument("--embedding-dimension", type=int, default=12)
+    src_parser.add_argument("--epochs", type=int, default=10)
+    src_parser.add_argument("--batch-size", type=int, default=16384)
+    src_parser.add_argument("--cosine-decay", action="store_true")
+    args = src_parser.parse_args(argv)
+    assert args.input.endswith("procedural_sky.exr")
+    assert args.embedding_dimension == ASSETS[name][1]
+    sizes = ([int(t) for t in args.layer_sizes.split(",")]
+             if args.layer_sizes else [args.layer_size] * args.layer_count)
+    assert sizes == ASSETS[name][0]
+    assert args.epochs == 6000 and args.cosine_decay
