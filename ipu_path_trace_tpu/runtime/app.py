@@ -121,6 +121,11 @@ class PathTracerApp:
         self.balancer: LoadBalancer | None = None
         self.samples_per_step = config.samples_per_step
         self.interactive = False
+        # Set by a SIGTERM/SIGINT handler (runtime/cli.py): the render
+        # loop finishes the in-flight step, then takes the normal exit
+        # path - final fetch, exit image save, checkpoint.  Preemption
+        # of a long TPU job must not lose completed samples.
+        self.stop_requested = False
 
     # ------------------------------------------------------------------
     def init(self) -> None:
@@ -419,6 +424,11 @@ class PathTracerApp:
 
         step = start_step
         while step <= steps:
+            if self.stop_requested:
+                logger().info(
+                    "Stop requested (signal); exiting after step %d",
+                    step - 1)
+                break
             loop_start = time.monotonic()
 
             # --- UI processing (PathTracerApp.cpp:652-686) ---

@@ -218,9 +218,35 @@ def main(argv=None) -> int:
                     f"UI server failed to accept a client on port "
                     f"{cfg.ui_port} (port in use?)")
             ui_server.initialise_video_stream(cfg.width, cfg.height)
+        # Graceful preemption: first SIGTERM/SIGINT finishes the
+        # in-flight step and takes the normal exit path (final fetch,
+        # exit image save, --checkpoint write); a second signal restores
+        # default handling (hard kill).  A preempted TPU job must not
+        # lose completed samples.
+        import signal
+
+        prev = {}
+
+        def _graceful(signum, frame):
+            logger().info("Received signal %d; finishing current step "
+                          "and saving (send again to force-quit)", signum)
+            app.stop_requested = True
+            for s, h in prev.items():
+                signal.signal(s, h)
+
+        for s in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[s] = signal.signal(s, _graceful)
+            except (ValueError, OSError):
+                pass  # non-main thread / unsupported platform
         try:
             app.execute(ui_server=ui_server)
         finally:
+            for s, h in prev.items():
+                try:
+                    signal.signal(s, h)
+                except (ValueError, OSError):
+                    pass
             if ui_server is not None:
                 ui_server.stop()
         return 0

@@ -102,3 +102,53 @@ def test_checkpoint_validation():
         cfg.validate()
     with pytest.raises(ValueError, match="exactly one"):
         save_checkpoint("x.npz", cfg, 1)
+
+
+def test_sigterm_graceful_save(tmp_path):
+    """Preemption safety: SIGTERM mid-render must exit 0 after writing
+    the -o images and the --checkpoint state (a preempted job resumes
+    instead of losing completed samples)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = tmp_path / "pre.png"
+    ck = tmp_path / "pre.npz"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ipu_path_trace_tpu.runtime.cli",
+         "-w", "64", "-H", "64", "-s", "400", "--samples-per-step", "2",
+         "--save-interval", "1000", "--model",
+         "--assets", "constant:0.8,0.7,0.6",
+         "--checkpoint", str(ck), "-o", str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # Wait until at least one step completed, then preempt:
+        deadline = time.monotonic() + 300
+        lines = []
+        for line in proc.stdout:
+            lines.append(line)
+            if "Completed render step" in line:
+                break
+            assert time.monotonic() < deadline, "".join(lines[-20:])
+        proc.send_signal(signal.SIGTERM)
+        rest, _ = proc.communicate(timeout=120)
+        lines.append(rest)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    log = "".join(lines)
+    assert proc.returncode == 0, log
+    assert "Stop requested" in log, log
+    assert out.exists() and (tmp_path / "pre.exr").exists(), log
+    assert ck.exists(), log
+    from ipu_path_trace_tpu.runtime.checkpoint import load_checkpoint
+    from ipu_path_trace_tpu.runtime.config import Config
+
+    cfg = Config(assets="constant:0.8,0.7,0.6", width=64, height=64,
+                 samples=400, samples_per_step=2, model=True)
+    step, mode, state = load_checkpoint(str(ck), cfg)
+    assert step >= 1 and mode == "hdr"
