@@ -584,6 +584,8 @@ class PathTracerApp:
                 )
                 if ui_server is not None:
                     ui_server.update_sample_rate(sample_rate, 0.0)
+                if step == start_step:
+                    self._log_device_memory()
                 step += 1
                 continue
 
@@ -647,6 +649,8 @@ class PathTracerApp:
             )
             if ui_server is not None:
                 ui_server.update_sample_rate(sample_rate, ray_rate)
+            if step == start_step:
+                self._log_device_memory()
             step += 1
 
         host.wait_for_completion()
@@ -689,6 +693,30 @@ class PathTracerApp:
         logger().info("Samples/sec: %.4g", samples_per_sec)
         logger().info("Samples/sec/chip: %.4g", samples_per_sec / max(1, cfg.ipus))
         return film
+
+    # ------------------------------------------------------------------
+    def _log_device_memory(self) -> None:
+        """One-shot HBM report after the first completed step.
+
+        Catches on-device footprint regressions (e.g. the dispatch-queue
+        pileup of PERF.md end-to-end lesson 1) without a profiler run.
+        memory_stats is a TPU/GPU feature; backends without it skip.
+        """
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+        except Exception:  # noqa: BLE001 - introspection must never fail a render
+            return
+        used = stats.get("bytes_in_use")
+        if used is None:
+            return
+        peak = stats.get("peak_bytes_in_use")
+        limit = stats.get("bytes_limit")
+        logger().info(
+            "Device memory after first step: %.0f MiB in use%s%s",
+            used / 2**20,
+            f", peak {peak / 2**20:.0f} MiB" if peak else "",
+            f", limit {limit / 2**20:.0f} MiB" if limit else "",
+        )
 
     # ------------------------------------------------------------------
     def _process_user_input(self, ui_state, state, ui_server) -> str:
