@@ -188,7 +188,10 @@ def save_assets(out_dir: str, weights: NifWeights, meta: NifMetaData, train_comm
     logger().info("Wrote NIF assets to %s", out_dir)
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """The trainer CLI.  Exposed so tooling (and the shipped-asset
+    replayability test) can validate recorded train_commands against
+    the REAL parser rather than a hand-kept mirror."""
     p = argparse.ArgumentParser(prog="train_nif")
     p.add_argument("input", help="equirect HDR image (.exr) or LDR image")
     p.add_argument("out_dir", help="output assets directory")
@@ -204,7 +207,11 @@ def main(argv=None) -> int:
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--cosine-decay", action="store_true")
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     from ..film.imageio import load_hdr_image
 

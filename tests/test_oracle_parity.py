@@ -129,7 +129,10 @@ def test_emissive_scene_parity():
     emit semantics)."""
     from ipu_path_trace_tpu.core.scenefile import load_scene
 
-    scene = load_scene("assets/scenes/three_spheres.json")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = load_scene(os.path.join(repo, "assets/scenes/three_spheres.json"))
     dark = np.asarray([0.01, 0.01, 0.015], np.float32)
     img_jax, img_oracle, out = _run_pair(
         ConstantEnv(colour=jnp.asarray(dark)),

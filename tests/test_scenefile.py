@@ -2,9 +2,12 @@
 
 import glob
 import json
+import os
 
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from ipu_path_trace_tpu.core.scene import Material, default_scene
 from ipu_path_trace_tpu.core.scenefile import load_scene, scene_from_dict
@@ -17,7 +20,7 @@ def _obj(**kw):
 
 
 def test_loads_example_scene():
-    s = load_scene("assets/scenes/three_spheres.json")
+    s = load_scene(os.path.join(REPO, "assets/scenes/three_spheres.json"))
     assert s.num_spheres == 4 and s.num_objects == 6
     assert bool(s.emissive[3]) and not bool(s.emissive[0])
     assert s.material.tolist()[:3] == [
@@ -29,7 +32,7 @@ def test_loads_example_scene():
     )
 
 
-@pytest.mark.parametrize("path", sorted(glob.glob("assets/scenes/*.json")))
+@pytest.mark.parametrize("path", sorted(glob.glob(os.path.join(REPO, "assets/scenes/*.json"))))
 def test_shipped_scenes_load_and_render(path):
     """Every shipped scene file parses, has at least one light, and renders
     finite radiance (the emitter must reach the film through a near-black
@@ -124,7 +127,7 @@ def test_cli_renders_custom_scene(tmp_path):
     out = tmp_path / "scene.png"
     rc = main([
         "-o", str(out), "--assets", "constant:0.05,0.05,0.08",
-        "--scene", "assets/scenes/three_spheres.json",
+        "--scene", os.path.join(REPO, "assets/scenes/three_spheres.json"),
         "-w", "24", "-H", "24", "-s", "8", "--samples-per-step", "4",
     ])
     assert rc == 0

@@ -69,20 +69,10 @@ def test_train_command_is_replayable(name):
     assert cmd[:3] == ["python", "-m", "ipu_path_trace_tpu.models.train_nif"]
     argv = cmd[3:]
 
-    import argparse
+    # Parse through the REAL trainer CLI (models/train_nif.build_parser):
+    from ipu_path_trace_tpu.models.train_nif import build_parser
 
-    # Mirror of the trainer's CLI (models/train_nif.py:193-207); if the
-    # trainer's flags change, update both and regenerate the metadata:
-    src_parser = argparse.ArgumentParser()
-    src_parser.add_argument("input")
-    src_parser.add_argument("out_dir")
-    src_parser.add_argument("--layer-size", type=int, default=320)
-    src_parser.add_argument("--layer-sizes", type=str, default=None)
-    src_parser.add_argument("--layer-count", type=int, default=6)
-    src_parser.add_argument("--embedding-dimension", type=int, default=12)
-    src_parser.add_argument("--epochs", type=int, default=10)
-    src_parser.add_argument("--batch-size", type=int, default=16384)
-    src_parser.add_argument("--cosine-decay", action="store_true")
+    src_parser = build_parser()
     args = src_parser.parse_args(argv)
     assert args.input.endswith("procedural_sky.exr")
     assert args.embedding_dimension == ASSETS[name][1]

@@ -268,7 +268,7 @@ def test_raw_hdr_transfer(pair):
     assert np.allclose(client.hdr_image(), hdr)
 
 
-def test_app_integration_with_ui():
+def test_app_integration_with_ui(tmp_path):
     """Full loop: app.execute drives a connected UI client end to end."""
     import threading
 
@@ -276,7 +276,7 @@ def test_app_integration_with_ui():
     from ipu_path_trace_tpu.runtime.config import Config
 
     cfg = Config(
-        outfile="/tmp/ui_integration.png",
+        outfile=str(tmp_path / "ui_integration.png"),
         assets="constant:1,1,1",
         width=16,
         height=16,
@@ -293,18 +293,23 @@ def test_app_integration_with_ui():
     client = InterfaceClient("127.0.0.1", server.port)
     assert server.wait_for_client(5)
     server.initialise_video_stream(cfg.width, cfg.height)
+    t = None
     try:
         t = threading.Thread(target=lambda: app.execute(ui_server=server))
         t.start()
         # Render runs with interactive samples; wait for progress packets:
         assert _wait(lambda: client.progress > 0, timeout=120)
         assert _wait(lambda: len(client.preview_frames) > 0, timeout=60)
-        client.stop_render()
-        t.join(timeout=120)
-        assert not t.is_alive()
     finally:
+        # Shut the render thread down even when an assertion fails -
+        # a live execute() thread would wedge pytest shutdown:
+        if t is not None:
+            client.stop_render()
+            t.join(timeout=120)
+            alive = t.is_alive()
         client.close()
         server.stop()
+    assert not alive
 
 
 def test_port_in_use_fails_fast():
@@ -328,16 +333,19 @@ def test_port_in_use_fails_fast():
 def test_turntable_animation(tmp_path):
     """scripts/turntable.py: the azimuth sweep produces a parseable MP4
     whose frames actually differ (the env visibly rotates)."""
+    import os
     import sys
 
-    sys.path.insert(0, "scripts")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
     from turntable import render_turntable
 
     from ipu_path_trace_tpu.ui.video import iter_mp4_samples
 
     out = str(tmp_path / "tt.mp4")
     render_turntable(width=32, height=32, spp=4, frames=3, fps=8,
-                     assets="texture:assets/procedural_sky.exr",
+                     assets="texture:" + os.path.join(
+                         repo, "assets/procedural_sky.exr"),
                      outfile=out, codec="mjpeg")
     data = open(out, "rb").read()
     samples = list(iter_mp4_samples(data))
