@@ -196,3 +196,23 @@ def test_spp_rounding():
     cfg = Config(samples=1000, samples_per_step=300, assets="constant:1,1,1")
     # roundSamplesPerPixel: 1000 -> 1200 (PathTracerApp.cpp:19-27)
     assert cfg.rounded_samples_per_pixel() == 1200
+
+
+def test_cli_save_then_load_exe_end_to_end(tmp_path):
+    """--save-exe --compile-only then --load-exe through the real CLI:
+    the AOT-loaded render must equal the JIT render bitwise."""
+    import numpy as np
+
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.runtime.cli import main
+
+    common = ["--assets", "constant:0.9,0.8,0.7", "-w", "24", "-H", "24",
+              "-s", "4", "--samples-per-step", "2", "--model"]
+    exe = str(tmp_path / "prog")
+    assert main(common + ["-o", str(tmp_path / "c.png"),
+                          "--save-exe", exe, "--compile-only"]) == 0
+    assert main(common + ["-o", str(tmp_path / "aot.png"),
+                          "--load-exe", exe]) == 0
+    assert main(common + ["-o", str(tmp_path / "jit.png")]) == 0
+    np.testing.assert_array_equal(
+        read_exr(str(tmp_path / "aot.exr")), read_exr(str(tmp_path / "jit.exr")))
