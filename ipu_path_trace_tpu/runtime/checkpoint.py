@@ -101,8 +101,16 @@ def load_checkpoint(path: str, cfg) -> tuple[int, str, dict]:
 
     ``state`` is {"hdr": array} or the SoA dict, matching ``mode``.
     """
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+    try:
+        z = np.load(path)
+    except Exception as e:  # zipfile/pickle/OSError zoo -> one clear error
+        raise ValueError(f"checkpoint '{path}' is unreadable: {e}") from e
+    with z:
+        try:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint '{path}' has no valid metadata: {e}") from e
         if meta.get("format") != _FORMAT:
             raise ValueError(
                 f"checkpoint '{path}' has format {meta.get('format')}, "

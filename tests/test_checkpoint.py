@@ -161,3 +161,19 @@ def test_sigterm_graceful_save(tmp_path):
                  samples=400, samples_per_step=2, model=True)
     step, mode, state = load_checkpoint(str(ck), cfg)
     assert step >= 1 and mode == "hdr"
+
+
+def test_corrupt_checkpoint_rejected(tmp_path):
+    """Garbage/truncated files surface one contextual ValueError, not a
+    raw zipfile/KeyError traceback."""
+    cfg = Config(assets="constant:1,1,1")
+    bad = tmp_path / "garbage.npz"
+    bad.write_bytes(b"not an npz at all")
+    with pytest.raises(ValueError, match="unreadable"):
+        load_checkpoint(str(bad), cfg)
+    # Valid npz, wrong contents:
+    import numpy as np
+
+    np.savez(tmp_path / "wrong.npz", x=np.zeros(3))
+    with pytest.raises(ValueError, match="metadata"):
+        load_checkpoint(str(tmp_path / "wrong.npz"), cfg)
