@@ -12,7 +12,7 @@ they serialise and fusion buys only glue.
 
 from __future__ import annotations
 
-import functools
+
 import os
 import sys
 import time

@@ -4,8 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from ipu_path_trace_tpu.core.records import TRACE_RECORD_DTYPE, make_worklist
-from ipu_path_trace_tpu.film import Film, read_exr, save_images, tone_map, write_exr, write_png
+from ipu_path_trace_tpu.core.records import TRACE_RECORD_DTYPE
+from ipu_path_trace_tpu.film import Film, read_exr, save_images, tone_map, write_exr
 from ipu_path_trace_tpu.models.nif import (
     NifMetaData,
     NifWeights,

@@ -20,7 +20,6 @@ from ipu_path_trace_tpu.render.wavefront import (
     bounce_uniforms,
     render_step,
     sample_key,
-    trace_one_sample,
 )
 
 W = H = 24

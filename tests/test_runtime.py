@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from ipu_path_trace_tpu.core.records import TRACE_RECORD_DTYPE, make_worklist
+from ipu_path_trace_tpu.core.records import TRACE_RECORD_DTYPE
 from ipu_path_trace_tpu.runtime.async_task import AsyncTask
 from ipu_path_trace_tpu.runtime.cli import parse_config
 from ipu_path_trace_tpu.runtime.config import Config
