@@ -362,6 +362,16 @@ class PathTracerApp:
                     })
             ckpt_written["step"] = at_step
 
+        def emit_metrics(record: dict) -> None:
+            """Append one JSON line to --metrics-file (fleet-readable
+            observability; the reference logs free text only)."""
+            if not cfg.metrics_file:
+                return
+            import json
+
+            with open(cfg.metrics_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
         if cfg.resume:
             from .checkpoint import load_checkpoint
 
@@ -584,6 +594,10 @@ class PathTracerApp:
                 )
                 if ui_server is not None:
                     ui_server.update_sample_rate(sample_rate, 0.0)
+                emit_metrics({"step": step, "steps": steps,
+                              "seconds": round(secs, 4),
+                              "samples_per_sec": round(sample_rate, 1),
+                              "spp_per_step": int(self.samples_per_step)})
                 if step == start_step:
                     self._log_device_memory()
                 step += 1
@@ -649,6 +663,11 @@ class PathTracerApp:
             )
             if ui_server is not None:
                 ui_server.update_sample_rate(sample_rate, ray_rate)
+            emit_metrics({"step": step, "steps": steps,
+                          "seconds": round(secs, 4),
+                          "samples_per_sec": round(sample_rate, 1),
+                          "rays_per_sec": round(ray_rate, 1),
+                          "spp_per_step": int(self.samples_per_step)})
             if step == start_step:
                 self._log_device_memory()
             step += 1
@@ -692,6 +711,11 @@ class PathTracerApp:
         samples_per_sec = (pixels / elapsed) * self.total_spp
         logger().info("Samples/sec: %.4g", samples_per_sec)
         logger().info("Samples/sec/chip: %.4g", samples_per_sec / max(1, cfg.ipus))
+        emit_metrics({"event": "summary",
+                      "elapsed_seconds": round(elapsed, 3),
+                      "total_spp": int(self.total_spp),
+                      "samples_per_sec": round(samples_per_sec, 1),
+                      "chips": max(1, cfg.ipus)})
         return film
 
     # ------------------------------------------------------------------

@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "buffer every step).  With --ui-port, previews are "
                           "tone-mapped on device (LDR bytes only).  "
                           "Incompatible with --enable-load-balancing.")
+    tpu.add_argument("--metrics-file", default="",
+                     help="Append one JSON line per completed render step "
+                          "(step, seconds, samples_per_sec, spp) plus a "
+                          "final summary - machine-readable observability "
+                          "for fleet/production monitoring.")
     tpu.add_argument("--checkpoint", default="",
                      help="Write the progressive render state to this .npz at "
                           "every save-interval and at exit, so an interrupted "
@@ -181,6 +186,7 @@ def parse_config(argv=None) -> Config:
         scene=args.scene,
         checkpoint=args.checkpoint,
         resume=args.resume,
+        metrics_file=args.metrics_file,
     )
     cfg.validate()
     return cfg

@@ -85,6 +85,10 @@ class Config:
     # reference can only restart from scratch (PathTracerApp.cpp:652-686).
     checkpoint: str = ""
     resume: str = ""
+    # Structured observability: append one JSON line per completed step
+    # ({step, seconds, samples_per_sec, ...}) plus a final summary line.
+    # The reference only logs free text (PathTracerApp.cpp:763-776).
+    metrics_file: str = ""
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:

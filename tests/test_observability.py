@@ -62,3 +62,24 @@ def test_device_timing_logs_split(tmp_path):
     timing = [m for m in records if "Device phase timing" in m]
     assert timing, records[:10]
     assert "step=" in timing[0] and "Mpaths/s" in timing[0]
+
+
+def test_metrics_file_jsonl(tmp_path):
+    """--metrics-file: one parseable JSON line per completed step plus a
+    summary line, in both film modes."""
+    import json
+
+    for device_film in (False, True):
+        mf = tmp_path / f"metrics_{device_film}.jsonl"
+        cfg = _base_cfg(tmp_path, metrics_file=str(mf),
+                        device_film=device_film)
+        app = PathTracerApp(cfg)
+        app.init()
+        app.build()
+        app.execute()
+        lines = [json.loads(l) for l in mf.read_text().splitlines()]
+        steps = [l for l in lines if "step" in l]
+        assert len(steps) == 2  # samples=4 / spp=2
+        assert steps[0]["step"] == 1 and steps[0]["samples_per_sec"] > 0
+        summary = [l for l in lines if l.get("event") == "summary"]
+        assert len(summary) == 1 and summary[0]["total_spp"] == 4
