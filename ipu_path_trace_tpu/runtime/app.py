@@ -18,6 +18,7 @@ host->device transfer, the jitted step, and device->host readback.
 
 from __future__ import annotations
 
+import json
 import time
 
 import numpy as np
@@ -367,8 +368,6 @@ class PathTracerApp:
             observability; the reference logs free text only)."""
             if not cfg.metrics_file:
                 return
-            import json
-
             with open(cfg.metrics_file, "a") as f:
                 f.write(json.dumps(record) + "\n")
 

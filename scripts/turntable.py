@@ -54,27 +54,29 @@ def render_turntable(width: int, height: int, spp: int, frames: int,
         enc = make_encoder(width, height, fps)
     print(f"encoder: {enc.codec}", file=sys.stderr)
 
-    chunks: list[bytes] = []
+    total = 0
     t0 = time.monotonic()
-    for i in range(frames):
-        azimuth = 360.0 * i / frames
-        settings = RenderSettings.make(
-            samples_per_step=spp, env_rotation_degrees=azimuth)
-        out = render_step(scene, settings, cfg, to_device_batch(work0),
-                          jax.random.fold_in(key, i), env)
-        film = Film(width, height)
-        film.accumulate(from_device_batch(out))
-        chunks += enc.encode(film.ldr(1, exposure, gamma))
-        if i % 10 == 0:
-            print(f"frame {i}/{frames} ({time.monotonic()-t0:.1f}s)",
-                  file=sys.stderr)
-    chunks += enc.close()  # trailing codec output (x264 buffers frames)
-    with open(outfile, "wb") as f:
-        for c in chunks:
+    with open(outfile, "wb") as f:  # stream to disk; long animations
+        for i in range(frames):     # must not buffer the whole MP4
+            azimuth = 360.0 * i / frames
+            settings = RenderSettings.make(
+                samples_per_step=spp, env_rotation_degrees=azimuth)
+            out = render_step(scene, settings, cfg, to_device_batch(work0),
+                              jax.random.fold_in(key, i), env)
+            film = Film(width, height)
+            film.accumulate(from_device_batch(out))
+            for c in enc.encode(film.ldr(1, exposure, gamma)):
+                f.write(c)
+                total += len(c)
+            if i % 10 == 0:
+                print(f"frame {i}/{frames} ({time.monotonic()-t0:.1f}s)",
+                      file=sys.stderr)
+        for c in enc.close():  # trailing codec output (x264 buffers)
             f.write(c)
+            total += len(c)
     secs = time.monotonic() - t0
     print(f"wrote {outfile}: {frames} frames @ {fps} fps, "
-          f"{sum(map(len, chunks))/1e6:.2f} MB, {secs:.1f}s "
+          f"{total/1e6:.2f} MB, {secs:.1f}s "
           f"({width*height*spp*frames/secs/1e6:.1f} Msamples/s)",
           file=sys.stderr)
     return 0
