@@ -371,10 +371,22 @@ class PathTracerApp:
             with open(cfg.metrics_file, "a") as f:
                 f.write(json.dumps(record) + "\n")
 
-        if cfg.resume:
+        resume_path = cfg.resume
+        if not resume_path and cfg.auto_resume:
+            # Restart-with-identical-args: resume from the checkpoint
+            # this run also writes, when a previous attempt left one.
+            import os
+
+            if os.path.exists(cfg.checkpoint):
+                resume_path = cfg.checkpoint
+            else:
+                logger().info(
+                    "--auto-resume: no checkpoint at '%s'; starting fresh",
+                    cfg.checkpoint)
+        if resume_path:
             from .checkpoint import load_checkpoint
 
-            done_step, mode, saved = load_checkpoint(cfg.resume, cfg)
+            done_step, mode, saved = load_checkpoint(resume_path, cfg)
             if mode != ("soa" if device_film else "hdr"):
                 raise ValueError(
                     f"checkpoint mode '{mode}' does not match this run")
@@ -391,7 +403,7 @@ class PathTracerApp:
                 disk_pending["norm"] = done_step  # not yet on disk here
             start_step = done_step + 1
             logger().info(
-                "Resumed from '%s': %d steps already rendered", cfg.resume,
+                "Resumed from '%s': %d steps already rendered", resume_path,
                 done_step)
         settings_sig = None
         settings = None

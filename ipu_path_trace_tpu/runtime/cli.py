@@ -131,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "combined result is bitwise-identical to an "
                           "uninterrupted run (the render config must match "
                           "the checkpoint's fingerprint).")
+    tpu.add_argument("--auto-resume", action="store_true", default=False,
+                     help="With --checkpoint: resume from the checkpoint "
+                          "file when it exists, start fresh when it does "
+                          "not - one identical command line serves the "
+                          "first launch and every post-preemption restart.")
     tpu.add_argument("--rng-impl", default="auto",
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "
@@ -186,6 +191,7 @@ def parse_config(argv=None) -> Config:
         scene=args.scene,
         checkpoint=args.checkpoint,
         resume=args.resume,
+        auto_resume=args.auto_resume,
         metrics_file=args.metrics_file,
     )
     cfg.validate()

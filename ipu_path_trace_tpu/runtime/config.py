@@ -85,6 +85,11 @@ class Config:
     # reference can only restart from scratch (PathTracerApp.cpp:652-686).
     checkpoint: str = ""
     resume: str = ""
+    # Restart-with-identical-args ergonomics (k8s/preemption pattern):
+    # resume from --checkpoint when the file exists, start fresh when it
+    # does not.  One command line serves both the first launch and every
+    # restart after a kill.
+    auto_resume: bool = False
     # Structured observability: append one JSON line per completed step
     # ({step, seconds, samples_per_sec, ...}) plus a final summary line.
     # The reference only logs free text (PathTracerApp.cpp:763-776).
@@ -111,6 +116,11 @@ class Config:
                 "wire sampleCount would clip)")
         if self.save_interval < 1:
             raise ValueError("save-interval must be >= 1")
+        if self.auto_resume and not self.checkpoint:
+            raise ValueError("--auto-resume needs --checkpoint (the file "
+                             "it resumes from and keeps writing)")
+        if self.auto_resume and self.resume:
+            raise ValueError("use either --resume or --auto-resume, not both")
         if (self.checkpoint or self.resume) and self.enable_load_balancing:
             raise ValueError(
                 "--checkpoint/--resume are incompatible with "

@@ -177,3 +177,23 @@ def test_corrupt_checkpoint_rejected(tmp_path):
     np.savez(tmp_path / "wrong.npz", x=np.zeros(3))
     with pytest.raises(ValueError, match="metadata"):
         load_checkpoint(str(tmp_path / "wrong.npz"), cfg)
+
+
+def test_auto_resume_identical_command(tmp_path):
+    """One identical command line: fresh start when no checkpoint exists,
+    resume when it does - final result bitwise equals a straight run."""
+    full = _run(_cfg(tmp_path, "ar_full"))
+    full_hdr = full.hdr_at_step(4).copy()
+
+    ck = str(tmp_path / "ar.npz")
+    kw = dict(checkpoint=ck, auto_resume=True)
+    _run(_cfg(tmp_path, "ar_a", **kw), max_steps=2)  # fresh (no file yet)
+    second = _run(_cfg(tmp_path, "ar_b", **kw))      # resumes from step 2
+    np.testing.assert_array_equal(second.hdr_at_step(4), full_hdr)
+
+    # Validation: auto-resume without a checkpoint path is rejected:
+    with pytest.raises(ValueError, match="auto-resume"):
+        Config(assets="constant:1,1,1", auto_resume=True).validate()
+    with pytest.raises(ValueError, match="not both"):
+        Config(assets="constant:1,1,1", checkpoint="c.npz",
+               resume="r.npz", auto_resume=True).validate()
