@@ -216,3 +216,24 @@ def test_cli_save_then_load_exe_end_to_end(tmp_path):
     assert main(common + ["-o", str(tmp_path / "jit.png")]) == 0
     np.testing.assert_array_equal(
         read_exr(str(tmp_path / "aot.exr")), read_exr(str(tmp_path / "jit.exr")))
+
+
+def test_readme_commands_parse():
+    """Docs-rot guard: every complete tpu_trace command in README's bash
+    blocks must parse through the real CLI parser (catches flag renames
+    that would strand the documentation)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "README.md")).read()
+    # Join backslash continuations, then pick tpu_trace lines without
+    # the '...' placeholder:
+    joined = re.sub(r"\\\n\s*", " ", text)
+    cmds = [l.strip() for l in joined.splitlines()
+            if l.strip().startswith("tpu_trace ") and "..." not in l]
+    assert len(cmds) >= 4, cmds
+    for cmd in cmds:
+        argv = cmd.split()[1:]
+        cfg = parse_config(argv)  # raises SystemExit/ValueError on rot
+        assert cfg.outfile
