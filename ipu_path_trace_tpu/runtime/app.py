@@ -351,9 +351,24 @@ class PathTracerApp:
                 return
             from .checkpoint import save_checkpoint
 
+            layouts = None
+            if cfg.enable_load_balancing and hdr is not None:
+                # The re-deal layout chain has a two-buffer lag: active
+                # is the layout step at_step+1 will upload, inactive the
+                # one for at_step+2 (re-dealt just above in this host
+                # task).  u,v order is all the re-deal state there is -
+                # accumulators were cleared, and the step itself never
+                # reorders records (checkpoint.py module docstring).
+                layouts = {
+                    "active_u": balancer.work.active["u"].copy(),
+                    "active_v": balancer.work.active["v"].copy(),
+                    "inactive_u": balancer.work.inactive["u"].copy(),
+                    "inactive_v": balancer.work.inactive["v"].copy(),
+                }
             with self.trace.span("checkpoint"):
                 save_checkpoint(
                     cfg.checkpoint, cfg, at_step, hdr=hdr, soa=soa,
+                    layouts=layouts,
                     # Record what actually lit these samples - the UI can
                     # mutate fov/rotation/assets away from cfg mid-render:
                     fingerprint_overrides={
@@ -390,6 +405,7 @@ class PathTracerApp:
             if mode != ("soa" if device_film else "hdr"):
                 raise ValueError(
                     f"checkpoint mode '{mode}' does not match this run")
+            layouts = saved.pop("layouts")
             if device_film:
                 from ..core.records import WorkBatch
 
@@ -401,6 +417,24 @@ class PathTracerApp:
             else:
                 film.hdr[...] = saved["hdr"]
                 disk_pending["norm"] = done_step  # not yet on disk here
+                if cfg.enable_load_balancing:
+                    # Restore the re-deal chain: both double-buffer
+                    # layouts, accumulators zeroed (write_ckpt saved
+                    # them post-clear; checkpoint.py module docstring).
+                    if set(layouts) != {"active_u", "active_v",
+                                        "inactive_u", "inactive_v"}:
+                        raise ValueError(
+                            "checkpoint has no load-balancer layouts; it "
+                            "was written without --enable-load-balancing")
+                    for name in ("active", "inactive"):
+                        buf = getattr(balancer.work, name)
+                        if len(layouts[f"{name}_u"]) != len(buf):
+                            raise ValueError(
+                                "checkpoint worklist size "
+                                f"{len(layouts[f'{name}_u'])} != {len(buf)}")
+                        buf[...] = 0
+                        buf["u"] = layouts[f"{name}_u"]
+                        buf["v"] = layouts[f"{name}_v"]
             start_step = done_step + 1
             logger().info(
                 "Resumed from '%s': %d steps already rendered", resume_path,

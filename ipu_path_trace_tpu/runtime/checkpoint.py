@@ -20,10 +20,17 @@ Saved state by mode:
 
 A fingerprint of every numerics-affecting config field is stored with
 the state; resuming under a different identity fails fast instead of
-silently blending incompatible renders.  Load-balancing renders are
-rejected at validation (runtime/config.py): the seed-142 re-deal layout
-evolves per step from host-side path-length inspection and is not part
-of the saved state.
+silently blending incompatible renders.
+
+Load-balancing renders (--enable-load-balancing, step-wise mode only)
+additionally save both double-buffer worklist LAYOUTS (the u,v record
+order).  The seed-142 re-deal evolves the layout per step from
+host-side path-length inspection with a two-buffer lag: at a checkpoint
+after step N, the active buffer holds the layout step N+1 will upload
+and the inactive buffer the layout for step N+2 (the re-deal that just
+ran inside the same host task).  Restoring both buffers therefore
+continues the re-deal chain bitwise-identically; later steps re-derive
+their layouts from freshly rendered path lengths as usual.
 """
 
 from __future__ import annotations
@@ -44,8 +51,13 @@ _FINGERPRINT_FIELDS = (
     "aa_noise_scale", "fov", "stop_prob", "roulette_depth",
     "refractive_index", "env_map_rotation", "aperture", "focal_distance",
     "partials_type", "use_pallas", "nif_mode", "device_film",
-    "ipus", "mesh_shape",
+    "ipus", "mesh_shape", "enable_load_balancing",
 )
+
+# Fields added after checkpoints already existed in the wild: a saved
+# fingerprint that predates the field matches iff the current value is
+# the behaviour those checkpoints actually had.
+_FIELD_DEFAULTS = {"enable_load_balancing": False}
 
 _FORMAT = 1
 
@@ -66,11 +78,14 @@ def render_fingerprint(cfg, overrides: dict | None = None) -> dict:
 
 def save_checkpoint(path: str, cfg, step: int, *, hdr: np.ndarray | None = None,
                     soa: dict[str, np.ndarray] | None = None,
+                    layouts: dict[str, np.ndarray] | None = None,
                     fingerprint_overrides: dict | None = None) -> None:
     """Write the progressive state at completed step ``step``.
 
     Exactly one of ``hdr`` (step-wise film sum) / ``soa`` (device-film
-    worklist arrays) must be given.  Atomic via write-then-rename so an
+    worklist arrays) must be given.  ``layouts`` carries the
+    load-balancer's double-buffer record order (module docstring) for
+    --enable-load-balancing renders.  Atomic via write-then-rename so an
     interrupt mid-write never corrupts the previous checkpoint.
     """
     if (hdr is None) == (soa is None):
@@ -87,6 +102,8 @@ def save_checkpoint(path: str, cfg, step: int, *, hdr: np.ndarray | None = None,
     else:
         for k, a in soa.items():
             arrays[f"soa_{k}"] = np.asarray(a)
+    for k, a in (layouts or {}).items():
+        arrays[f"layout_{k}"] = np.asarray(a)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
@@ -117,7 +134,8 @@ def load_checkpoint(path: str, cfg) -> tuple[int, str, dict]:
                 f"expected {_FORMAT}")
         want = render_fingerprint(cfg)
         got = meta["fingerprint"]
-        diffs = {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
+        diffs = {k: (got.get(k), want[k]) for k in want
+                 if got.get(k, _FIELD_DEFAULTS.get(k)) != want[k]}
         if diffs:
             raise ValueError(
                 "checkpoint does not match this render configuration "
@@ -128,4 +146,6 @@ def load_checkpoint(path: str, cfg) -> tuple[int, str, dict]:
         else:
             state = {k[len("soa_"):]: z[k] for k in z.files
                      if k.startswith("soa_")}
+        state["layouts"] = {k[len("layout_"):]: z[k] for k in z.files
+                            if k.startswith("layout_")}
         return int(meta["step"]), mode, state

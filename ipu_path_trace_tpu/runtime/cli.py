@@ -124,8 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--checkpoint", default="",
                      help="Write the progressive render state to this .npz at "
                           "every save-interval and at exit, so an interrupted "
-                          "render can be continued with --resume.  "
-                          "Incompatible with --enable-load-balancing.")
+                          "render can be continued with --resume (with "
+                          "--enable-load-balancing the re-deal layouts are "
+                          "saved too, keeping resume bitwise-exact).")
     tpu.add_argument("--resume", default="",
                      help="Continue a render from a --checkpoint file; the "
                           "combined result is bitwise-identical to an "

@@ -121,12 +121,6 @@ class Config:
                              "it resumes from and keeps writing)")
         if self.auto_resume and self.resume:
             raise ValueError("use either --resume or --auto-resume, not both")
-        if (self.checkpoint or self.resume) and self.enable_load_balancing:
-            raise ValueError(
-                "--checkpoint/--resume are incompatible with "
-                "--enable-load-balancing (the per-step re-deal layout is "
-                "host-state the checkpoint does not capture)"
-            )
 
     def rounded_samples_per_pixel(self) -> int:
         """Round spp up to a multiple of samples-per-step

@@ -96,12 +96,35 @@ def test_checkpoint_written_at_exit_between_intervals(tmp_path):
 
 
 def test_checkpoint_validation():
-    cfg = Config(assets="constant:1,1,1", enable_load_balancing=True,
-                 checkpoint="x.npz")
-    with pytest.raises(ValueError, match="load-balancing"):
-        cfg.validate()
+    cfg = Config(assets="constant:1,1,1", checkpoint="x.npz")
     with pytest.raises(ValueError, match="exactly one"):
         save_checkpoint("x.npz", cfg, 1)
+
+
+def test_resume_load_balancing_bitwise(tmp_path):
+    """--checkpoint/--resume compose with --enable-load-balancing: the
+    checkpoint carries both double-buffer re-deal layouts (two-buffer
+    lag; checkpoint.py module docstring), so the resumed run replays the
+    exact same per-step worklist layouts and the film is bitwise equal
+    to an uninterrupted run."""
+    lb = dict(enable_load_balancing=True, samples=12)  # 6 steps of re-deals
+    full = _run(_cfg(tmp_path, "lb_full", **lb))
+    full_hdr = full.hdr_at_step(6).copy()
+
+    ck = str(tmp_path / "lb_state.npz")
+    _run(_cfg(tmp_path, "lb_a", checkpoint=ck, **lb), max_steps=3)
+    second = _run(_cfg(tmp_path, "lb_b", resume=ck, **lb))
+    np.testing.assert_array_equal(second.hdr_at_step(6), full_hdr)
+
+
+def test_resume_load_balancing_needs_layouts(tmp_path):
+    """A checkpoint written WITHOUT load balancing cannot seed a
+    load-balancing resume: the fingerprint catches the mismatch."""
+    ck = str(tmp_path / "plain.npz")
+    _run(_cfg(tmp_path, "plain", checkpoint=ck), max_steps=2)
+    with pytest.raises(ValueError, match="does not match"):
+        _run(_cfg(tmp_path, "lb_res", resume=ck,
+                  enable_load_balancing=True))
 
 
 def test_sigterm_graceful_save(tmp_path):
