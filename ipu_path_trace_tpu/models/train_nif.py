@@ -111,6 +111,13 @@ def train_nif(
               else list(layer_size))
     if len(widths) != layer_count:
         raise ValueError(f"need {layer_count} layer sizes, got {widths}")
+    if skip_layer is not None and not (0 <= skip_layer < layer_count):
+        # A skip index at/after the output layer would build weights the
+        # forward pass never matches (shape error deep in jax); fail
+        # with the actual constraint instead.
+        raise ValueError(
+            f"skip_layer={skip_layer} must be a hidden-layer index "
+            f"(< layer_count={layer_count}) or None")
     in_dim = 4 * embedding_dim
     dims = []
     cur = in_dim
@@ -201,6 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--layer-size; MXU-shaped mixed-width nets)")
     p.add_argument("--layer-count", type=int, default=6)
     p.add_argument("--embedding-dimension", type=int, default=12)
+    p.add_argument("--skip-layer", type=int, default=3,
+                   help="hidden-layer index of the input skip-concat "
+                        "(canonical NIFs skip at 3); -1 disables it")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=16384)
     p.add_argument("--train-samples", type=int, default=None)
@@ -225,6 +235,7 @@ def main(argv=None) -> int:
         layer_size=sizes,
         layer_count=args.layer_count,
         embedding_dim=args.embedding_dimension,
+        skip_layer=None if args.skip_layer < 0 else args.skip_layer,
         epochs=args.epochs,
         batch_size=args.batch_size,
         train_samples=args.train_samples,
@@ -233,13 +244,29 @@ def main(argv=None) -> int:
         seed=args.seed,
         name=os.path.abspath(args.input),
     )
-    cmd = ["train_nif.py", "--layer-count", str(args.layer_count)]
+    # Record a REPLAYABLE command (the same format nif_width_sweep.py
+    # writes and tests/test_shipped_assets.py validates): it must parse
+    # through build_parser() and include every knob that shaped the
+    # weights, so re-running it reproduces this asset.  --layer-size
+    # stays present for uniform widths - the reference scrapes it from
+    # train_command (NifMetaData.cpp:56-64), as does models/nif.py.
+    cmd = ["python", "-m", "ipu_path_trace_tpu.models.train_nif",
+           args.input, args.out_dir,
+           "--layer-count", str(args.layer_count)]
     if args.layer_sizes:
         cmd += ["--layer-sizes", args.layer_sizes]
     else:
         cmd += ["--layer-size", str(args.layer_size)]
     cmd += ["--embedding-dimension", str(args.embedding_dimension),
-            "--input", args.input]
+            "--skip-layer", str(args.skip_layer),
+            "--epochs", str(args.epochs),
+            "--batch-size", str(args.batch_size),
+            "--learning-rate", str(args.learning_rate),
+            "--seed", str(args.seed)]
+    if args.train_samples is not None:
+        cmd += ["--train-samples", str(args.train_samples)]
+    if args.cosine_decay:
+        cmd += ["--cosine-decay"]
     save_assets(args.out_dir, weights, meta, cmd)
     print(f"final loss: {loss:.6f}")
     return 0

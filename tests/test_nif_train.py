@@ -55,6 +55,40 @@ def test_train_and_roundtrip(tmp_path):
     assert np.median(rel) < 0.15, f"median rel err {np.median(rel)}"
 
 
+def test_trainer_cli_records_replayable_command(tmp_path):
+    """The trainer CLI's own recorded train_command must parse back
+    through build_parser() and carry every weight-shaping knob, so a
+    CLI-trained asset is reproducible (same contract the shipped assets
+    are held to in tests/test_shipped_assets.py)."""
+    from ipu_path_trace_tpu.film.imageio import write_exr
+    from ipu_path_trace_tpu.models.train_nif import build_parser, main
+
+    src = str(tmp_path / "tiny.exr")
+    write_exr(src, _test_image(8, 16))
+    out = str(tmp_path / "cli_assets")
+    assert main([src, out, "--layer-size", "64", "--layer-count", "3",
+                 "--embedding-dimension", "8", "--skip-layer", "1",
+                 "--epochs", "3", "--batch-size", "64", "--seed", "7",
+                 "--cosine-decay"]) == 0
+
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(out, "nif_metadata.txt")))
+    cmd = meta["train_command"]
+    assert cmd[:3] == ["python", "-m", "ipu_path_trace_tpu.models.train_nif"]
+    args = build_parser().parse_args(cmd[3:])
+    assert (args.input, args.out_dir) == (src, out)
+    assert args.layer_size == 64 and args.layer_count == 3
+    assert args.embedding_dimension == 8 and args.skip_layer == 1
+    assert args.epochs == 3
+    assert args.batch_size == 64 and args.seed == 7 and args.cosine_decay
+    # The reference scrapes --layer-size from this command
+    # (NifMetaData.cpp:56-64); the loader must see the same width:
+    _, meta2, _ = load_nif_assets(out)
+    assert meta2.hidden_size == 64
+
+
 def test_train_mixed_widths_roundtrip(tmp_path):
     """Mixed per-layer widths survive the train -> save -> load cycle and
     keep the skip-concat at the declared layer (shapes are the contract
