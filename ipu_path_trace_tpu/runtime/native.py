@@ -20,6 +20,8 @@ import threading
 
 import numpy as np
 
+from ..utils.logging import logger
+
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -51,24 +53,40 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except Exception:
             return None
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.pt_accumulate.argtypes = [u8p, ctypes.c_int64, f32p, ctypes.c_int32, ctypes.c_int32]
-        lib.pt_accumulate.restype = None
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        lib.pt_accumulate_soa.argtypes = [
-            i32p, i32p, f32p, f32p, f32p, i32p,
-            ctypes.c_int64, f32p, ctypes.c_int32, ctypes.c_int32,
-        ]
-        lib.pt_accumulate_soa.restype = None
-        lib.pt_tonemap.argtypes = [f32p, u8p, ctypes.c_int64, ctypes.c_float, ctypes.c_float]
-        lib.pt_tonemap.restype = None
-        lib.pt_clear_and_sum_pathlengths.argtypes = [u8p, ctypes.c_int64]
-        lib.pt_clear_and_sum_pathlengths.restype = ctypes.c_uint64
-        lib.pt_load_balance.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64]
-        lib.pt_load_balance.restype = None
-        _lib = lib
-        return _lib
+        try:
+            return _bind(lib)
+        except AttributeError:
+            # A stale .so missing a newer symbol (e.g. restored from a
+            # cache with fresh timestamps, so make no-ops): fall back to
+            # NumPy instead of crashing every native caller.
+            logger().warning(
+                "libpt_host.so is missing expected symbols; rebuild "
+                "csrc (make -C csrc). Using NumPy fallbacks.")
+            return None
+
+
+def _bind(lib):
+    """Declare every symbol's signature; raises AttributeError if the
+    loaded library predates one of them (caller falls back to NumPy)."""
+    global _lib
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.pt_accumulate.argtypes = [u8p, ctypes.c_int64, f32p, ctypes.c_int32, ctypes.c_int32]
+    lib.pt_accumulate.restype = None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pt_accumulate_soa.argtypes = [
+        i32p, i32p, f32p, f32p, f32p, i32p,
+        ctypes.c_int64, f32p, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.pt_accumulate_soa.restype = None
+    lib.pt_tonemap.argtypes = [f32p, u8p, ctypes.c_int64, ctypes.c_float, ctypes.c_float]
+    lib.pt_tonemap.restype = None
+    lib.pt_clear_and_sum_pathlengths.argtypes = [u8p, ctypes.c_int64]
+    lib.pt_clear_and_sum_pathlengths.restype = ctypes.c_uint64
+    lib.pt_load_balance.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64]
+    lib.pt_load_balance.restype = None
+    _lib = lib
+    return _lib
 
 
 def available() -> bool:
