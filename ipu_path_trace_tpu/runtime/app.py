@@ -309,6 +309,12 @@ class PathTracerApp:
         if ui_server is not None:
             self.samples_per_step = cfg.interactive_samples
             self.interactive = True
+            if hasattr(ui_server, "seed_state"):
+                # The server's protocol defaults must not clobber CLI
+                # values on the first consumed state change (ui/server.py
+                # seed_state docstring); fields the client already sent
+                # win.  hasattr: tests drive execute() with stub servers.
+                ui_server.seed_state(dict(state))
 
         steps = self.total_spp // cfg.samples_per_step
         if max_steps is not None:
@@ -346,7 +352,19 @@ class PathTracerApp:
         start_step = 1
         ckpt_written = {"step": 0}
 
-        def write_ckpt(at_step, *, hdr=None, soa=None):
+        def current_fp():
+            """Live fingerprint overrides: what actually lights the samples
+            (the UI can mutate fov/rotation/assets away from cfg).  Must be
+            captured on the MAIN thread at host-task dispatch - read inside
+            the async task, a concurrent UI change could stamp a checkpoint
+            with values that did not light the saved samples."""
+            return {
+                "fov": float(state["fov"]),
+                "env_map_rotation": float(state["env_rotation"]),
+                "assets": self.active_assets,
+            }
+
+        def write_ckpt(at_step, *, hdr=None, soa=None, fp=None):
             if not cfg.checkpoint or at_step <= ckpt_written["step"]:
                 return
             from .checkpoint import save_checkpoint
@@ -369,13 +387,10 @@ class PathTracerApp:
                 save_checkpoint(
                     cfg.checkpoint, cfg, at_step, hdr=hdr, soa=soa,
                     layouts=layouts,
-                    # Record what actually lit these samples - the UI can
-                    # mutate fov/rotation/assets away from cfg mid-render:
-                    fingerprint_overrides={
-                        "fov": float(state["fov"]),
-                        "env_map_rotation": float(state["env_rotation"]),
-                        "assets": self.active_assets,
-                    })
+                    # fp is bound at dispatch by async callers; main-thread
+                    # callers (exit paths) read the live values directly:
+                    fingerprint_overrides=fp if fp is not None else current_fp(),
+                )
             ckpt_written["step"] = at_step
 
         def emit_metrics(record: dict) -> None:
@@ -610,13 +625,14 @@ class PathTracerApp:
                         ui_server.send_preview_image(ldr)
                     ui_server.update_progress(step, steps)
                 if fetched is not None:
-                    def device_film_processing(step=step, wb=fetched, ui=ui_server):
+                    def device_film_processing(step=step, wb=fetched,
+                                               ui=ui_server, fp=current_fp()):
                         with self.trace.span("accumulate_framebuffers"):
                             film.reset()
                             film.accumulate_soa(
                                 wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count
                             )
-                        write_ckpt(step, soa=wb._asdict())
+                        write_ckpt(step, soa=wb._asdict(), fp=fp)
                         disk_pending["norm"] = 1
                         if ui is not None:
                             ui.start_sending_raw_image(film.hdr_at_step(1))
@@ -656,7 +672,8 @@ class PathTracerApp:
             step_for_task = step
             sps_for_task = self.samples_per_step
 
-            def host_processing(step=step_for_task, sps=sps_for_task, ui=ui_server):
+            def host_processing(step=step_for_task, sps=sps_for_task,
+                                ui=ui_server, fp=current_fp()):
                 with self.trace.span("accumulate_framebuffers"):
                     film.accumulate(balancer.work.inactive)
                 disk_pending["norm"] = step
@@ -679,7 +696,7 @@ class PathTracerApp:
                 with self.trace.span("clear_accumulators"):
                     total_rays["n"] = balancer.clear_inactive_accumulators()
                 if step % cfg.save_interval == 0 or step == steps:
-                    write_ckpt(step, hdr=film.hdr)
+                    write_ckpt(step, hdr=film.hdr, fp=fp)
                     if ui is not None:
                         ui.start_sending_raw_image(film.hdr_at_step(step))
                     else:
@@ -807,30 +824,38 @@ class PathTracerApp:
                     self.env = replicate(self.env, self.mesh)
             else:
                 nif_failed = True  # env unchanged; don't discard the film
-        for k_src, k_dst in (
-            ("env_rotation", "env_rotation"),
-            ("exposure", "exposure"),
-            ("gamma", "gamma"),
-            ("fov", "fov"),
-        ):
-            if k_src in ui_state:
-                state[k_dst] = ui_state[k_src]
+        # Track whether anything that changes rendered VALUES actually
+        # changed: a state message whose only payload is invalid (or a
+        # resend of current values) must not destroy the accumulated
+        # film with a restart that changes nothing.
+        render_changed = bool(new_nif) and not nif_failed
+        for k in ("exposure", "gamma"):  # tonemap-only: never restarts
+            if k in ui_state:
+                state[k] = ui_state[k]
+        for k in ("env_rotation", "fov"):
+            if k in ui_state:
+                if k not in state or float(ui_state[k]) != float(state[k]):
+                    render_changed = True
+                state[k] = ui_state[k]
         if "interactive_samples" in ui_state:
             # Wire values are untrusted: <1 would render zero-sample
-            # steps, and on a sample mesh axis a non-divisible count
-            # would raise out of settings() and kill the whole render.
+            # steps, on a sample mesh axis a non-divisible count would
+            # raise out of settings() and kill the whole render, and
+            # >65535 would clip the u16 wire sampleCount in the
+            # step-wise host pipeline (silently brightening the image).
             v = int(ui_state["interactive_samples"])
             try:
                 if v < 1:
                     raise ValueError("must be >= 1")
+                if v > 0xFFFF and not self.cfg.device_film:
+                    raise ValueError(
+                        "> 65535 needs --device-film (u16 wire clip)")
                 self.local_samples(v)
+                if v != state.get("interactive_samples"):
+                    render_changed = True
                 state["interactive_samples"] = v
             except ValueError as e:
                 logger().warning(
                     "Ignoring invalid interactive_samples=%r from UI: %s",
                     v, e)
-        if nif_failed and set(ui_state) <= {"load_nif", "exposure", "gamma"}:
-            # The only render-affecting request failed: keep the
-            # accumulated film instead of a restart that changes nothing.
-            return "none"
-        return "restart"
+        return "restart" if render_changed else "none"

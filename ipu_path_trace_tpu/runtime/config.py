@@ -114,6 +114,12 @@ class Config:
             raise ValueError(
                 "samples-per-step > 65535 needs --device-film (the u16 "
                 "wire sampleCount would clip)")
+        if self.interactive_samples > 0xFFFF and not self.device_film:
+            # Interactive steps ride the same wire record (the UI wire
+            # path enforces this too, app._process_user_input).
+            raise ValueError(
+                "interactive-samples > 65535 needs --device-film (the "
+                "u16 wire sampleCount would clip)")
         if self.save_interval < 1:
             raise ValueError("save-interval must be >= 1")
         if self.auto_resume and not self.checkpoint:

@@ -52,6 +52,7 @@ class InterfaceServer:
         self._state = self._default_state()
         self._state_lock = threading.Lock()
         self._state_updated = False
+        self._client_set: set[str] = set()  # fields a client actually sent
         self._stop_server = False
         self._server_ready = threading.Event()
         self._thread: threading.Thread | None = None
@@ -167,6 +168,7 @@ class InterfaceServer:
         def set_state(k, v, updates=True):
             with self._state_lock:
                 self._state[k] = v
+                self._client_set.add(k)
                 if updates:
                     self._state_updated = True
 
@@ -217,6 +219,18 @@ class InterfaceServer:
             self.initialise_video_stream(*self._video_size)
 
     # --- state API (consumeState/stateChanged, InterfaceServer.hpp:204-218) ---
+    def seed_state(self, values: dict) -> None:
+        """Install the render's ACTUAL initial values (from the CLI/config)
+        for any field no client has sent yet.  Without this, the first
+        consumed state change would clobber CLI values (e.g. --fov 40,
+        --interactive-samples 32) with the protocol defaults above."""
+        with self._state_lock:
+            for k, v in values.items():
+                if k not in self._state:
+                    raise KeyError(f"unknown UI state field '{k}'")
+                if k not in self._client_set:
+                    self._state[k] = v
+
     def state_changed(self) -> bool:
         return self._state_updated
 

@@ -50,6 +50,21 @@ def test_state_updates(pair):
     assert not server.state_changed()
 
 
+def test_seed_state_yields_to_client_values(pair):
+    """seed_state installs CLI/config values only for fields no client
+    has touched: without it the first consume_state() would hand the
+    app the protocol defaults (fov=90 etc.) and clobber CLI flags."""
+    server, client = pair
+    client.set_fov(60.0)
+    assert _wait(lambda: server.get_state()["fov"] == 60.0)
+    server.seed_state({"fov": 40.0, "interactive_samples": 32})
+    state = server.consume_state()
+    assert state["fov"] == 60.0  # client-sent field wins
+    assert state["interactive_samples"] == 32  # untouched field seeded
+    with pytest.raises(KeyError):
+        server.seed_state({"not_a_field": 1})
+
+
 def test_preview_encoder_failure_falls_back(pair):
     """A video encoder dying mid-stream (e.g. ffmpeg without libx264
     exits after startup) must never abort the render: the frame falls
@@ -195,10 +210,9 @@ def test_h264_fragments_decode_to_pixels():
         frames.append(frame)
         for chunk in enc.encode(frame):
             stream += chunk
-    enc.close()
-    # close() flushes the tail; drain whatever the reader thread got:
-    while enc._chunks:
-        stream += enc._chunks.popleft()
+    # close() flushes x264's buffered frames and RETURNS the tail chunks
+    # (it drains the deque itself); dropping them loses the last moofs:
+    stream += b"".join(enc.close())
     types = [t for t, _ in iter_mp4_boxes(stream)]
     assert types.count(b"moof") >= 2, f"want >=2 fragments, got {types}"
     imgs = _ffmpeg_decode_rgb(stream, w, h)
