@@ -138,7 +138,14 @@ def main() -> None:
     scene = default_scene()
     cfg = StaticConfig(width=WIDTH, height=HEIGHT)
     settings = RenderSettings.make(samples_per_step=SAMPLES_PER_STEP)
-    work = to_device_batch(make_worklist(WIDTH, HEIGHT))
+    # The app's default coherent layout (runtime/worklist.coherent_order):
+    # primary-hit-sorted records let the megastep's dead-block early-out
+    # fire block-wise (+3% vs raster, docs/PERF.md).
+    from ipu_path_trace_tpu.runtime.worklist import coherent_order
+
+    worklist = coherent_order(make_worklist(WIDTH, HEIGHT), scene,
+                              WIDTH, HEIGHT, 90.0)
+    work = to_device_batch(worklist)
     # Through tunneled device transports block_until_ready can return
     # before execution finishes; a scalar fetch is a reliable barrier.
     sync = jax.jit(lambda w: w.r[0] + w.b[-1])

@@ -39,7 +39,7 @@ from ..utils.tracing import TraceChannel
 from .async_task import AsyncTask
 from .config import Config
 from .exe_cache import ProgramManager, enable_compilation_cache
-from .worklist import LoadBalancer, create_tracing_jobs
+from .worklist import LoadBalancer, coherent_order, create_tracing_jobs
 
 # Steps without UI interaction before reverting to the performant
 # samples-per-step (PathTracerApp.cpp:643,670-675):
@@ -245,8 +245,21 @@ class PathTracerApp:
                 # early-out fires (sky strips skip the bounce-unroll tail,
                 # +14% - ops/trace_pallas.py), which a shuffle destroys.
                 # So shuffle only when dynamic balancing asked for it.
+                if cfg.layout == "coherent":
+                    logger().info(
+                        "--enable-load-balancing overrides --layout with the "
+                        "reference's shuffle + per-step re-deal")
                 self.balancer.randomise_work_list(worklist)
             else:
+                if cfg.layout == "coherent":
+                    # TPU-first default: primary-hit-sorted records make
+                    # kernel blocks homogeneous so the megastep's
+                    # dead-block early-out fires block-wise (the SIMD
+                    # inverse of the reference's long/short pairing;
+                    # runtime/worklist.coherent_order).
+                    worklist = coherent_order(
+                        worklist, self.scene, cfg.width, cfg.height,
+                        cfg.fov, shards=n_px)
                 self.balancer.work.inactive = worklist.copy()
             self.balancer.work.active = self.balancer.work.inactive.copy()
         self.film = Film(cfg.width, cfg.height)

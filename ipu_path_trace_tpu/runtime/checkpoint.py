@@ -51,13 +51,17 @@ _FINGERPRINT_FIELDS = (
     "aa_noise_scale", "fov", "stop_prob", "roulette_depth",
     "refractive_index", "env_map_rotation", "aperture", "focal_distance",
     "partials_type", "use_pallas", "nif_mode", "device_film",
-    "ipus", "mesh_shape", "enable_load_balancing",
+    "ipus", "mesh_shape", "enable_load_balancing", "layout",
 )
 
 # Fields added after checkpoints already existed in the wild: a saved
 # fingerprint that predates the field matches iff the current value is
 # the behaviour those checkpoints actually had.
-_FIELD_DEFAULTS = {"enable_load_balancing": False}
+_FIELD_DEFAULTS = {"enable_load_balancing": False,
+                   # Checkpoints that predate --layout were rendered with
+                   # raster-ordered worklists (per-lane noise is
+                   # position-keyed, so the layout is numerics-affecting):
+                   "layout": "raster"}
 
 _FORMAT = 1
 

@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Use fused Pallas kernels for the hot paths.")
     tpu.add_argument("--mesh-shape", default="",
                      help="Device mesh as 'PIXELSxSAMPLES', e.g. '4x2'. Default: all chips on the pixel axis.")
+    tpu.add_argument("--layout", default="coherent",
+                     choices=["coherent", "raster"],
+                     help="Worklist layout: 'coherent' sorts records by "
+                          "primary-hit class so kernel blocks stop bouncing "
+                          "together (default; measured +3%% over raster); "
+                          "'raster' keeps row-major image order. "
+                          "--enable-load-balancing overrides either with the "
+                          "reference's shuffle + per-step re-deal.")
     tpu.add_argument("--cache-dir", default="", help="Persistent compilation cache directory.")
     tpu.add_argument("--profile-dir", default="",
                      help="Write an XLA profiler trace of the render loop here "
@@ -180,6 +188,7 @@ def parse_config(argv=None) -> Config:
         max_nif_batch_size=args.max_nif_batch_size,
         ui_port=args.ui_port,
         use_pallas=args.use_pallas,
+        layout=args.layout,
         mesh_shape=args.mesh_shape,
         cache_dir=args.cache_dir,
         rng_impl=args.rng_impl,

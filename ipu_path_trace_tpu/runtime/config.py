@@ -51,6 +51,15 @@ class Config:
 
     # --- TPU-native additions ---
     use_pallas: bool = True  # fused Pallas trace kernel where profitable
+    # Worklist layout.  "coherent" sorts records by the primary-hit
+    # class of their central ray so kernel blocks become homogeneous and
+    # the megastep's dead-block early-out fires block-wise (the SIMD
+    # inverse of the reference's MIMD long/short pairing,
+    # LoadBalancer.cpp:141-192; measured +3% over raster -
+    # runtime/worklist.coherent_order).  "raster" keeps row-major image
+    # order.  --enable-load-balancing overrides either with the
+    # reference's seed-142 shuffle + per-step re-deal.
+    layout: str = "coherent"  # coherent | raster
     mesh_shape: str = ""  # e.g. "4x2" -> pixel x sample mesh axes; "" = 1D pixels
     cache_dir: str = ""  # persistent XLA compilation cache directory
     rng_impl: str = "auto"  # auto | threefry2x32 | rbg | unsafe_rbg
@@ -122,6 +131,9 @@ class Config:
                 "u16 wire sampleCount would clip)")
         if self.save_interval < 1:
             raise ValueError("save-interval must be >= 1")
+        if self.layout not in ("coherent", "raster"):
+            raise ValueError(f"unknown --layout '{self.layout}' "
+                             "(choices: coherent, raster)")
         if self.auto_resume and not self.checkpoint:
             raise ValueError("--auto-resume needs --checkpoint (the file "
                              "it resumes from and keeps writing)")

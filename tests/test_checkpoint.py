@@ -127,6 +127,32 @@ def test_resume_load_balancing_needs_layouts(tmp_path):
                   enable_load_balancing=True))
 
 
+def test_resume_layout_fingerprinted(tmp_path):
+    """Per-lane noise is position-keyed, so the worklist layout is
+    numerics-affecting: a raster checkpoint must not seed a coherent
+    resume, and a checkpoint that PREDATES the --layout field (no key in
+    its fingerprint) must only match the raster behaviour it had."""
+    import json
+
+    ck = str(tmp_path / "lay.npz")
+    _run(_cfg(tmp_path, "lay_a", layout="coherent", checkpoint=ck),
+         max_steps=2)
+    with pytest.raises(ValueError, match="does not match"):
+        _run(_cfg(tmp_path, "lay_b", layout="raster", resume=ck))
+
+    # Rewrite the checkpoint as if written before --layout existed:
+    with np.load(ck) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays["meta"].tobytes()).decode())
+    del meta["fingerprint"]["layout"]
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    np.savez(ck, **arrays)
+    with pytest.raises(ValueError, match="does not match"):
+        _run(_cfg(tmp_path, "lay_c", layout="coherent", resume=ck))
+    # ... while the raster behaviour those checkpoints had still resumes:
+    _run(_cfg(tmp_path, "lay_d", layout="raster", resume=ck))
+
+
 def test_sigterm_graceful_save(tmp_path):
     """Preemption safety: SIGTERM mid-render must exit 0 after writing
     the -o images and the --checkpoint state (a preempted job resumes

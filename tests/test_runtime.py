@@ -10,7 +10,9 @@ from ipu_path_trace_tpu.runtime.config import Config
 from ipu_path_trace_tpu.runtime.worklist import (
     LoadBalancer,
     calculate_max_rays_per_tile,
+    coherent_order,
     create_tracing_jobs,
+    primary_hit_class,
 )
 
 
@@ -117,6 +119,62 @@ def test_async_task():
     with pytest.raises(RuntimeError):
         t.run(lambda: None)
     t.wait_for_completion()
+
+
+def test_coherent_order_is_a_sorted_permutation():
+    """The coherent layout (runtime/worklist.coherent_order) must be a
+    pure permutation - padding first, primary-hit classes non-decreasing,
+    raster order within a class (stable sort => deterministic)."""
+    from ipu_path_trace_tpu.core.scene import default_scene
+
+    w, h, fov = 96, 80, 90.0
+    scene = default_scene()
+    wl = create_tracing_jobs(w, h)
+    out = coherent_order(wl, scene, w, h, fov)
+    # Permutation: same multiset of (u, v) pairs.
+    key_in = np.sort(wl["v"].astype(np.int64) * 0x10000 + wl["u"])
+    key_out = np.sort(out["v"].astype(np.int64) * 0x10000 + out["u"])
+    assert (key_in == key_out).all()
+    cls = primary_hit_class(scene, out["u"], out["v"], w, h, fov)
+    assert (np.diff(cls) >= 0).all(), "classes must be non-decreasing"
+    assert cls[0] == -1 and (out["u"][cls == -1] == 0xFFFF).all()
+    # The default scene's central rays cover sky + at least two material
+    # classes at this resolution (guards the key computation itself):
+    assert len(np.unique(cls)) >= 4
+    # Deterministic:
+    again = coherent_order(wl, scene, w, h, fov)
+    assert (again == out).all()
+
+
+def test_coherent_order_shards_balance_classes():
+    """With shards > 1 each contiguous chunk must stay internally sorted
+    (the early-out needs homogeneous blocks per chip) while classes are
+    dealt round-robin so no chip gets all the short sky paths."""
+    from ipu_path_trace_tpu.core.scene import default_scene
+
+    w, h, fov, shards = 64, 64, 90.0, 4
+    scene = default_scene()
+    wl = create_tracing_jobs(w, h, multiple_of=shards)
+    out = coherent_order(wl, scene, w, h, fov, shards=shards)
+    n = len(out) // shards
+    fracs = []
+    for i in range(shards):
+        chunk = out[i * n:(i + 1) * n]
+        cls = primary_hit_class(scene, chunk["u"], chunk["v"], w, h, fov)
+        assert (np.diff(cls) >= 0).all()
+        fracs.append((cls <= 0).mean())  # sky+padding fraction per chip
+    assert max(fracs) - min(fracs) < 0.02, f"class imbalance: {fracs}"
+
+
+def test_cli_layout_flag():
+    base = ["-o", "o.png", "--assets", "constant:1,1,1"]
+    assert parse_config(base).layout == "coherent"
+    assert parse_config(base + ["--layout", "raster"]).layout == "raster"
+    with pytest.raises(SystemExit):
+        parse_config(base + ["--layout", "zigzag"])
+    with pytest.raises(ValueError):
+        Config(outfile="o.png", assets="constant:1,1,1",
+               layout="zigzag").validate()
 
 
 def test_cli_parity_flags():
