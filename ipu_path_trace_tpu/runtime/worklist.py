@@ -64,7 +64,8 @@ def create_tracing_jobs(
 
 
 def primary_hit_class(scene, u: np.ndarray, v: np.ndarray,
-                      width: int, height: int, fov: float) -> np.ndarray:
+                      width: int, height: int,
+                      fov_degrees: float) -> np.ndarray:
     """Static expected-path-length class of each record's central ray.
 
     -1 = padding (u == DUMMY_COORD), 0 = primary miss (the path dies on
@@ -82,7 +83,8 @@ def primary_hit_class(scene, u: np.ndarray, v: np.ndarray,
 
     cols = jnp.asarray(u.astype(np.float32))
     rows = jnp.asarray(v.astype(np.float32))
-    d = pixel_to_ray(cols, rows, width, height, jnp.float32(fov)).normalized()
+    fov = jnp.float32(np.deg2rad(fov_degrees))  # pixel_to_ray takes radians
+    d = pixel_to_ray(cols, rows, width, height, fov).normalized()
     hit = intersect_scene(scene, Vec3.zeros(cols.shape), d)
     key = jnp.where(
         ~hit.valid,
@@ -101,7 +103,7 @@ def primary_hit_class(scene, u: np.ndarray, v: np.ndarray,
 
 
 def coherent_order(worklist: np.ndarray, scene, width: int, height: int,
-                   fov: float, shards: int = 1) -> np.ndarray:
+                   fov_degrees: float, shards: int = 1) -> np.ndarray:
     """Reorder records so kernel blocks die together (TPU-first layout).
 
     The reference's balancer deals (shortest, longest) path pairs to
@@ -122,7 +124,7 @@ def coherent_order(worklist: np.ndarray, scene, width: int, height: int,
     internally sorted (a strided subsequence of a sorted list).
     """
     key = primary_hit_class(scene, worklist["u"], worklist["v"],
-                            width, height, fov)
+                            width, height, fov_degrees)
     perm = np.lexsort((np.arange(len(worklist)), key))
     if shards > 1:
         if len(perm) % shards:

@@ -36,41 +36,13 @@ WIDTH, HEIGHT = 1104, 1000
 SPP = 300
 
 
-def primary_hit_key(scene, u, v, fov) -> np.ndarray:
-    """Static expected-path-length class of each pixel's central ray.
+def primary_hit_key(scene, u, v, fov_degrees) -> np.ndarray:
+    """Class key; the production implementation lives in
+    runtime/worklist.primary_hit_class (this probe validated it)."""
+    from ipu_path_trace_tpu.runtime.worklist import primary_hit_class
 
-    0 = primary miss (dies on bounce 0), 1 = emissive hit, 2 = diffuse,
-    3 = specular, 4 = refractive (clear-coat shells bounce longest).
-    Dummy/padding records (u = 0xFFFF) key as -1 so they group together.
-    """
-    from ipu_path_trace_tpu.core.camera import pixel_to_ray
-    from ipu_path_trace_tpu.core.geometry import intersect_scene
-    from ipu_path_trace_tpu.core.scene import Material
-    from ipu_path_trace_tpu.core.vecmath import Vec3
-
-    cols = jnp.asarray(u, jnp.float32)
-    rows = jnp.asarray(v, jnp.float32)
-    d = pixel_to_ray(cols, rows, WIDTH, HEIGHT, jnp.float32(fov))
-    inv = 1.0 / jnp.sqrt(d.x * d.x + d.y * d.y + d.z * d.z)
-    d = Vec3(d.x * inv, d.y * inv, d.z * inv)
-    o = Vec3.zeros(cols.shape)
-    hit = intersect_scene(scene, o, d)
-    key = jnp.where(
-        ~hit.valid,
-        0,
-        jnp.where(
-            hit.emissive,
-            1,
-            jnp.where(
-                hit.material == int(Material.DIFFUSE),
-                2,
-                jnp.where(hit.material == int(Material.SPECULAR), 3, 4),
-            ),
-        ),
-    )
-    key = np.asarray(key)
-    key = np.where(np.asarray(u) == 0xFFFF, -1, key)
-    return key
+    return primary_hit_class(scene, np.asarray(u), np.asarray(v),
+                             WIDTH, HEIGHT, fov_degrees)
 
 
 def permute_batch(batch, perm):
@@ -126,7 +98,7 @@ def main():
     wl = make_worklist(WIDTH, HEIGHT)
     batch = to_device_batch(wl)
 
-    key = primary_hit_key(scene, wl["u"], wl["v"], float(settings.fov))
+    key = primary_hit_key(scene, wl["u"], wl["v"], 90.0)
     frac = {int(k): float((key == k).mean()) for k in np.unique(key)}
     print(f"primary-hit class fractions: {frac}", file=sys.stderr)
 

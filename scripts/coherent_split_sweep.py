@@ -27,7 +27,7 @@ env = NifEnv(params=params)
 settings = RenderSettings.make(samples_per_step=LOOP)
 
 wl = make_worklist(W, H)
-key = primary_hit_key(scene, wl["u"], wl["v"], float(settings.fov))
+key = primary_hit_key(scene, wl["u"], wl["v"], 90.0)
 perm = np.lexsort((np.arange(len(wl)), key))
 work = to_device_batch(wl[perm])
 cols = work.u.astype(jnp.float32)

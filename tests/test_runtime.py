@@ -166,6 +166,38 @@ def test_coherent_order_shards_balance_classes():
     assert max(fracs) - min(fracs) < 0.02, f"class imbalance: {fracs}"
 
 
+def test_primary_hit_class_matches_oracle():
+    """Guards the class key against unit/convention drift (degrees vs
+    radians bit once): the same classes must fall out of the independent
+    NumPy oracle's camera + intersect, which share no code with the jax
+    path and take radians explicitly."""
+    from ipu_path_trace_tpu.core.scene import Material, default_scene
+    from ipu_path_trace_tpu.cpu import oracle as orc
+
+    w, h, fov_deg = 48, 40, 90.0
+    scene = default_scene()
+    wl = create_tracing_jobs(w, h)
+    got = primary_hit_class(scene, wl["u"], wl["v"], w, h, fov_deg)
+
+    osc = orc.oracle_scene_from(scene)
+    real = wl["u"] != 0xFFFF
+    cols = wl["u"][real].astype(np.float32)
+    rows = wl["v"][real].astype(np.float32)
+    d = orc._camera_rays(cols, rows, w, h, np.deg2rad(fov_deg))
+    t, obj = orc._intersect(osc, np.zeros_like(d), d)
+    miss = ~np.isfinite(t)
+    emissive = osc.emission[obj].max(axis=-1) > 0
+    mat = osc.material[obj]
+    want = np.where(
+        miss, 0,
+        np.where(emissive, 1,
+                 np.where(mat == int(Material.DIFFUSE), 2,
+                          np.where(mat == int(Material.SPECULAR), 3, 4))))
+    # Float32 discontinuities at silhouettes may flip the odd pixel:
+    assert (got[real] == want).mean() > 0.999
+    assert (got[~real] == -1).all()
+
+
 def test_cli_layout_flag():
     base = ["-o", "o.png", "--assets", "constant:1,1,1"]
     assert parse_config(base).layout == "coherent"
