@@ -64,6 +64,15 @@ from .trace_pallas import (
 class MegaStepOut(NamedTuple):
     radiance: Vec3  # per-pixel radiance sum over the step's samples
     path_len: jnp.ndarray  # int32 path-length sum
+    # Sum over samples of luminance(sample radiance)^2, for the adaptive
+    # sampler's variance estimate (render/adaptive.py).  None unless the
+    # kernel ran with with_stats=True.
+    lum2: jnp.ndarray | None = None
+
+
+# Rec.709 luma weights, used for the adaptive sampler's per-sample
+# second-moment accumulator (render/adaptive.py shares these).
+LUM_R, LUM_G, LUM_B = 0.2126, 0.7152, 0.0722
 
 
 def _stub_nif_layer(x, feats, w_ref, b_ref, is_last: bool, upcast_dot=False):
@@ -115,6 +124,8 @@ def _kernel(
     upcast_dot: bool,  # interpret mode: f32 dots (nif_pallas.nif_layer)
     split_point: int | None,  # early-out split bounce; None = default formula
     stub: str | None,  # None | 'nif' | 'trace' | 'both' (devtime split)
+    has_budgets: bool,  # per-block sample budgets (render/adaptive.py)
+    with_stats: bool,  # accumulate per-record lum^2 second moments
     # refs:
     fpar_ref,  # SMEM (1, 8) f32
     ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed0 seed1 n_samples
@@ -123,16 +134,17 @@ def _kernel(
     dsc_ref,
     cols_ref,  # VMEM (B,)
     rows_ref,
-    *refs,  # w*num_layers, b*num_layers, [noise], accr(3,B), plen(1,B)
+    *refs,  # w*num_layers, b*num_layers, [budget], [noise], outputs
 ):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
-    rest = refs[2 * num_layers :]
-    if host_samples:
-        noise_ref, acc_ref, plen_ref = rest
+    rest = list(refs[2 * num_layers :])
+    bud_ref = rest.pop(0) if has_budgets else None
+    noise_ref = rest.pop(0) if host_samples else None
+    if with_stats:
+        acc_ref, plen_ref, l2_ref = rest
     else:
-        acc_ref, plen_ref = rest
-        noise_ref = None
+        (acc_ref, plen_ref), l2_ref = rest, None
 
     n = cols_ref.shape[0]
     tanfov_x = fpar_ref[0, 0]
@@ -156,9 +168,18 @@ def _kernel(
     cols = cols_ref[:]
     rows = rows_ref[:]
     zero = jnp.zeros((n,), jnp.float32)
+    # Per-block sample budget (adaptive sampling, render/adaptive.py).
+    # Hardware-PRNG mode uses it as the sample-loop bound; host-noise
+    # parity mode traces every noise row but GATES the contributions of
+    # rows >= budget to zero, which consumes the identical noise layout
+    # while computing the identical estimator.
+    bud_f = bud_ref[0, 0].astype(jnp.float32) if has_budgets else None
 
     def one_sample(sample_idx, carry):
-        (ar, ag, ab, apl, ex, ey, ez, wx, wy, wz) = carry
+        if with_stats:
+            (ar, ag, ab, apl, ex, ey, ez, wx, wy, wz, pr, pg, pb, l2v) = carry
+        else:
+            (ar, ag, ab, apl, ex, ey, ez, wx, wy, wz) = carry
 
         def noise_row(j):
             return noise_ref[sample_idx, j, :]
@@ -236,29 +257,57 @@ def _kernel(
         if max_path_length > 1:
             st = bounce_cond(any_alive(st), tail_bounces, st)
 
+        dr, dg, db = st.radiance.x, st.radiance.y, st.radiance.z
+        dpl = st.path_len
+        swx, swy, swz = st.esc_w.x, st.esc_w.y, st.esc_w.z
+        if host_samples and has_budgets:
+            # Gate sample rows past this block's budget: zero direct
+            # radiance/path pushes now, and zero escape WEIGHTS so the
+            # lagged env shade of this sample contributes nothing later
+            # (and adds 0 to the lum^2 moment).
+            mf = (jnp.float32(sample_idx) < bud_f).astype(jnp.float32)
+            mi = mf.astype(jnp.int32)
+            dr, dg, db = mf * dr, mf * dg, mf * db
+            dpl = dpl * mi
+            swx, swy, swz = mf * swx, mf * swy, mf * swz
+
         # bgr -> rgb flip + escape weights (codelets.cpp:377-378); the
         # weights are zero for sample -1 (carry init), so iteration 0
         # contributes nothing for the nonexistent previous sample:
-        return (
-            ar + st.radiance.x + cr,
-            ag + st.radiance.y + cg,
-            ab + st.radiance.z + cb,
-            apl + st.path_len,
+        out = (
+            ar + dr + cr,
+            ag + dg + cg,
+            ab + db + cb,
+            apl + dpl,
             st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
-            st.esc_w.x, st.esc_w.y, st.esc_w.z,
+            swx, swy, swz,
         )
+        if with_stats:
+            # The PREVIOUS sample is complete here (direct pr/pg/pb from
+            # its own iteration + its env shade cr/cg/cb above): fold its
+            # luminance^2 into the second-moment accumulator.  Gated
+            # samples carried zeros, so they add 0.
+            tr, tg, tb = pr + cr, pg + cg, pb + cb
+            lum = LUM_R * tr + LUM_G * tg + LUM_B * tb
+            out = out + (dr, dg, db, l2v + lum * lum)
+        return out
 
     init = (zero, zero, zero, jnp.zeros((n,), jnp.int32),
             zero, zero, zero, zero, zero, zero)
+    if with_stats:
+        init = init + (zero, zero, zero, zero)
     if host_samples:
         carry = init
         for s in range(host_samples):
             carry = one_sample(s, carry)
     else:
-        n_samples = ipar_ref[0, 3]
+        n_samples = bud_ref[0, 0] if has_budgets else ipar_ref[0, 3]
         carry = jax.lax.fori_loop(0, n_samples, one_sample, init)
 
-    ar, ag, ab, apl, ex, ey, ez, wx, wy, wz = carry
+    if with_stats:
+        ar, ag, ab, apl, ex, ey, ez, wx, wy, wz, pr, pg, pb, l2v = carry
+    else:
+        ar, ag, ab, apl, ex, ey, ez, wx, wy, wz = carry
     # Epilogue: the LAST sample's escaped rays still need their env light.
     cr, cg, cb = _env_contrib(
         ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
@@ -266,13 +315,17 @@ def _kernel(
     )
     acc_ref[:] = jnp.stack([ar + cr, ag + cg, ab + cb], axis=0)
     plen_ref[:] = apl.reshape(1, n)
+    if with_stats:
+        tr, tg, tb = pr + cr, pg + cg, pb + cb
+        lum = LUM_R * tr + LUM_G * tg + LUM_B * tb
+        l2_ref[:] = (l2v + lum * lum).reshape(1, n)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "max_path_length", "aa_noise_type",
-        "block_size", "interpret", "split_point", "stub",
+        "block_size", "interpret", "split_point", "stub", "with_stats",
     ),
 )
 def render_megastep_pallas(
@@ -284,6 +337,8 @@ def render_megastep_pallas(
     seed: jnp.ndarray | None = None,  # (2,) int32 per-step seed words
     *,
     noise: jnp.ndarray | None = None,  # (S, 4+4L, P) host-noise parity mode
+    budgets: jnp.ndarray | None = None,  # (G,) int32 per-block sample counts
+    with_stats: bool = False,  # also return per-record lum^2 sums
     width: int,
     height: int,
     max_path_length: int,
@@ -300,6 +355,14 @@ def render_megastep_pallas(
     s's randomness in the trace kernel's layout ([0:2] AA jitter,
     [2:4] lens uniforms, [4+4i:8+4i] bounce-i uniforms).  Returns the
     SUM of radiance (env light applied) and path lengths over samples.
+
+    ``budgets`` (adaptive sampling, render/adaptive.py) gives each grid
+    block its own sample count instead of settings.samples_per_step: the
+    hardware-PRNG loop bound per block, or a contribution gate on the
+    host-noise rows (which must then cover max(budgets) samples).
+    ``with_stats`` additionally accumulates, per record, the sum over
+    its samples of luminance(radiance)^2 (returned as ``lum2``) - the
+    second moment the adaptive controller's variance estimate needs.
     """
     if (seed is None) == (noise is None):
         raise ValueError("pass exactly one of seed= or noise=")
@@ -311,7 +374,8 @@ def render_megastep_pallas(
         # Degenerate host-noise request: zero samples -> zero sums.
         z = jnp.zeros((p,), jnp.float32)
         return MegaStepOut(radiance=Vec3(z, z, z),
-                           path_len=jnp.zeros((p,), jnp.int32))
+                           path_len=jnp.zeros((p,), jnp.int32),
+                           lum2=z if with_stats else None)
     pad = (-p) % block_size
     if pad:
         cols = jnp.pad(cols, (0, pad))
@@ -320,6 +384,9 @@ def render_megastep_pallas(
             noise = jnp.pad(noise, ((0, 0), (0, 0), (0, pad)))
     n = p + pad
     grid = (n // block_size,)
+    if budgets is not None and budgets.shape != (grid[0],):
+        raise ValueError(
+            f"budgets shape {budgets.shape} != one per grid block ({grid[0]},)")
 
     num_s = scene.num_spheres
     num_d = scene.disc_radius.shape[0]
@@ -375,6 +442,11 @@ def render_megastep_pallas(
         *[full(b) for b in biases_c],
     ]
     inputs = [fpar, ipar, scal, sph, dsc, cols, rows, *kernels_t, *biases_c]
+    if budgets is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+        )
+        inputs.append(budgets.astype(jnp.int32).reshape(-1, 1))
     if noise is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -384,26 +456,34 @@ def render_megastep_pallas(
         )
         inputs.append(noise)
 
-    acc, plen = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((3, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.int32),
+    ]
+    out_specs = [row_out(3), row_out(1)]
+    if with_stats:
+        out_shape.append(jax.ShapeDtypeStruct((1, n), jnp.float32))
+        out_specs.append(row_out(1))
+
+    outs = pl.pallas_call(
         functools.partial(
             _kernel, num_s, num_d, max_path_length, num_layers,
             params.embedding_dim, width, height, aa_noise_type, host_samples,
-            interpret, split_point, stub,
+            interpret, split_point, stub, budgets is not None, with_stats,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(row_out(3), row_out(1)),
+        out_specs=tuple(out_specs),
         # Grid blocks are independent (the PRNG reseeds per block), so
         # megacore TPUs may split them across TensorCores:
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*inputs)
 
+    acc, plen = outs[0], outs[1]
     return MegaStepOut(
         radiance=Vec3(acc[0, :p], acc[1, :p], acc[2, :p]),
         path_len=plen[0, :p],
+        lum2=outs[2][0, :p] if with_stats else None,
     )

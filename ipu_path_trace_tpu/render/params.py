@@ -41,6 +41,11 @@ class StaticConfig(NamedTuple):
     # 'trace' stubs the bounce loop, 'both' leaves the skeleton.  The
     # cycle-counter analog of src/PathTracerApp.cpp:438-462.
     megastep_stub: str = ""
+    # Adaptive per-block sampling bounds (render/adaptive.py; only read
+    # by the adaptive step).  Budgets are clipped to
+    # [adaptive_min, adaptive_max_factor * samples_per_step]:
+    adaptive_min: int = 8
+    adaptive_max_factor: float = 4.0
 
 
 class RenderSettings(NamedTuple):

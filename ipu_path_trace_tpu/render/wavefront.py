@@ -228,12 +228,15 @@ def sample_noise(skey: jax.Array, n: int, cfg: StaticConfig) -> jnp.ndarray:
     return jnp.concatenate([aa, lens, *bounce], axis=0)
 
 
-def step_noise(step_key: jax.Array, n: int, cfg: StaticConfig) -> jnp.ndarray:
-    """(S, 4 + 4L, n) host noise for cfg.pallas_interpret samples."""
+def step_noise(
+    step_key: jax.Array, n: int, cfg: StaticConfig, samples: int | None = None
+) -> jnp.ndarray:
+    """(S, 4 + 4L, n) host noise for S = ``samples`` (default
+    cfg.pallas_interpret) samples."""
     return jnp.stack(
         [
             sample_noise(sample_key(step_key, s), n, cfg)
-            for s in range(cfg.pallas_interpret)
+            for s in range(cfg.pallas_interpret if samples is None else samples)
         ]
     )
 

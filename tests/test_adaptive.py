@@ -1,0 +1,232 @@
+"""Adaptive per-block sampling (render/adaptive.py, a TPU-native
+extension beyond the reference's uniform sampler).
+
+Exactness strategy: host-noise interpret mode makes the fused megastep
+deterministic, so a budgeted run must decompose EXACTLY into independent
+per-block runs with the noise sliced to each block's budget - budgets
+only bound the sample loop, they change no sample's arithmetic.  The
+second-moment (lum^2) accumulator is checked against per-sample
+single-sample runs, and the controller against hand-computed
+allocations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch
+from ipu_path_trace_tpu.core.scene import default_scene
+from ipu_path_trace_tpu.models.envlight import NifEnv
+from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
+from ipu_path_trace_tpu.ops.megastep_pallas import (
+    LUM_B,
+    LUM_G,
+    LUM_R,
+    render_megastep_pallas,
+)
+from ipu_path_trace_tpu.render.adaptive import (
+    adaptive_render_step,
+    compute_budgets,
+)
+from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+from ipu_path_trace_tpu.render.wavefront import make_base_key
+
+W, H = 32, 16  # 512 records = exactly 2 interpret-mode blocks of 256
+BLOCK = 256
+MAXLEN = 4
+S_MAX = 4
+
+
+def _setup():
+    scene = default_scene()
+    cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN)
+    settings = RenderSettings.make(samples_per_step=S_MAX)
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    params = make_params(weights, meta, jnp.bfloat16)
+    work = make_worklist(W, H)
+    cols = jnp.asarray(work["u"], jnp.float32)
+    rows = jnp.asarray(work["v"], jnp.float32)
+    rng = np.random.default_rng(33)
+    p = cols.shape[0]
+    noise = rng.uniform(0.0, 1.0, size=(S_MAX, 4 + 4 * MAXLEN, p)).astype(np.float32)
+    noise[:, 0:2] = rng.normal(size=(S_MAX, 2, p))
+    return scene, cfg, settings, params, cols, rows, noise
+
+
+def _run(scene, settings, params, cols, rows, noise, **kw):
+    return render_megastep_pallas(
+        scene, settings, params, cols, rows, noise=jnp.asarray(noise),
+        width=W, height=H, max_path_length=MAXLEN,
+        block_size=BLOCK, interpret=True, **kw,
+    )
+
+
+def test_budgeted_kernel_decomposes_into_per_block_runs():
+    """A budgeted run == independent per-block runs on budget-sliced
+    noise, EXACTLY (gating zeroes contributions, it never changes any
+    ungated sample's arithmetic)."""
+    scene, cfg, settings, params, cols, rows, noise = _setup()
+    budgets = [3, 1]
+    out = _run(scene, settings, params, cols, rows, noise,
+               budgets=jnp.asarray(budgets, jnp.int32))
+    for g, b in enumerate(budgets):
+        sl = slice(g * BLOCK, (g + 1) * BLOCK)
+        ref = _run(scene, settings, params, cols[sl], rows[sl],
+                   noise[:b, :, sl])
+        for got_c, ref_c in zip(
+            (out.radiance.x[sl], out.radiance.y[sl], out.radiance.z[sl]),
+            (ref.radiance.x, ref.radiance.y, ref.radiance.z),
+        ):
+            np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+        np.testing.assert_array_equal(
+            np.asarray(out.path_len[sl]), np.asarray(ref.path_len))
+
+
+def test_full_budgets_equal_unbudgeted_run():
+    scene, cfg, settings, params, cols, rows, noise = _setup()
+    plain = _run(scene, settings, params, cols, rows, noise)
+    budgeted = _run(scene, settings, params, cols, rows, noise,
+                    budgets=jnp.full((2,), S_MAX, jnp.int32), with_stats=True)
+    np.testing.assert_array_equal(np.asarray(plain.radiance.x),
+                                  np.asarray(budgeted.radiance.x))
+    np.testing.assert_array_equal(np.asarray(plain.path_len),
+                                  np.asarray(budgeted.path_len))
+    assert plain.lum2 is None and budgeted.lum2 is not None
+
+
+def test_lum2_stats_match_per_sample_runs():
+    """with_stats accumulates sum_s luminance(sample_s total)^2: check
+    against single-sample runs (whose radiance IS one sample's total)."""
+    scene, cfg, settings, params, cols, rows, noise = _setup()
+    budgets = [2, S_MAX]
+    out = _run(scene, settings, params, cols, rows, noise,
+               budgets=jnp.asarray(budgets, jnp.int32), with_stats=True)
+    for g, b in enumerate(budgets):
+        sl = slice(g * BLOCK, (g + 1) * BLOCK)
+        manual = np.zeros(BLOCK, np.float32)
+        for s in range(b):
+            one = _run(scene, settings, params, cols[sl], rows[sl],
+                       noise[s:s + 1, :, sl])
+            lum = np.asarray(
+                LUM_R * one.radiance.x + LUM_G * one.radiance.y
+                + LUM_B * one.radiance.z, np.float32)
+            manual += lum * lum
+        np.testing.assert_allclose(
+            np.asarray(out.lum2[sl]), manual, rtol=1e-6, atol=1e-7)
+
+
+def test_compute_budgets_allocation():
+    block = 4
+    spp, min_spp = 16, 2
+    n = np.full(8, 10, np.float32)
+    # Block 0: constant luminance (zero variance).  Block 1: variance 1.
+    r = np.full(8, 10.0, np.float32) * 10  # lum sums; use pure-red lum
+    g = b = np.zeros(8, np.float32)
+    mean = LUM_R * r / 10
+    lum2 = (mean * mean) * 10  # exactly n * mean^2 -> var 0
+    lum2[4:] += 10.0  # block 1: +E[l^2] of 1 -> var 1 per record
+    buds = np.asarray(compute_budgets(
+        jnp.asarray(r), jnp.asarray(g), jnp.asarray(b), jnp.asarray(lum2),
+        jnp.asarray(n, jnp.int32).astype(jnp.int32),
+        block_size=block, samples_per_step=spp, min_spp=min_spp, max_spp=100,
+    ))
+    assert buds[0] == min_spp  # zero-variance block floors
+    assert buds[1] == 2 * spp - min_spp  # all the surplus
+    assert buds.sum() == 2 * spp
+
+    # The cap clips and the clip survives redistribution:
+    capped = np.asarray(compute_budgets(
+        jnp.asarray(r), jnp.asarray(g), jnp.asarray(b), jnp.asarray(lum2),
+        jnp.asarray(n, jnp.int32),
+        block_size=block, samples_per_step=spp, min_spp=min_spp, max_spp=20,
+    ))
+    assert capped[1] == 20
+    # The spill never goes to zero-variance blocks (the step just
+    # spends less when every scored block is capped):
+    assert capped[0] == min_spp
+
+    # Cold start (no samples) falls back to uniform:
+    cold = np.asarray(compute_budgets(
+        jnp.asarray(r * 0), jnp.asarray(g), jnp.asarray(b),
+        jnp.asarray(lum2 * 0), jnp.zeros(8, jnp.int32),
+        block_size=block, samples_per_step=spp, min_spp=min_spp, max_spp=100,
+    ))
+    np.testing.assert_array_equal(cold, [spp, spp])
+
+
+def test_adaptive_step_bookkeeping_and_determinism():
+    """Counts increment by each record's block budget; budgets replay
+    from accumulated state (bitwise-identical reruns)."""
+    scene = default_scene()
+    spp = 2
+    cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN,
+                       pallas_interpret=spp, adaptive_min=1,
+                       adaptive_max_factor=2.0)
+    settings = RenderSettings.make(samples_per_step=spp)
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    base = make_base_key(7)
+
+    def run(n_steps):
+        work = to_device_batch(make_worklist(W, H))
+        lum2 = jnp.zeros(work.u.shape[0], jnp.float32)
+        for step in range(1, n_steps + 1):
+            work, lum2 = adaptive_render_step(
+                scene, settings, cfg, work, lum2,
+                jax.random.fold_in(base, step), env)
+        return work, lum2
+
+    work1, lum2_1 = run(1)
+    # Cold start is uniform:
+    np.testing.assert_array_equal(np.asarray(work1.sample_count), spp)
+
+    work3, lum2_3 = run(3)
+    # Counts == cumulative per-block budgets, replayed via the
+    # controller on the (deterministic) accumulated state:
+    work, lum2 = work1, lum2_1
+    expect = np.asarray(work1.sample_count).copy()
+    for step in (2, 3):
+        buds = compute_budgets(
+            work.r, work.g, work.b, lum2, work.sample_count,
+            block_size=BLOCK, samples_per_step=spp,
+            min_spp=min(cfg.adaptive_min, spp),
+            max_spp=int(cfg.adaptive_max_factor * spp),
+        )
+        expect += np.repeat(np.asarray(buds), BLOCK)
+        work, lum2 = adaptive_render_step(
+            scene, settings, cfg, work, lum2,
+            jax.random.fold_in(base, step), env)
+    np.testing.assert_array_equal(np.asarray(work3.sample_count), expect)
+    np.testing.assert_array_equal(np.asarray(work3.r), np.asarray(work.r))
+    np.testing.assert_array_equal(np.asarray(lum2_3), np.asarray(lum2))
+
+    # Full rerun is bitwise identical:
+    work3b, lum2_3b = run(3)
+    np.testing.assert_array_equal(np.asarray(work3.r), np.asarray(work3b.r))
+    np.testing.assert_array_equal(np.asarray(lum2_3), np.asarray(lum2_3b))
+
+
+def test_adaptive_budgets_shift_toward_variance():
+    """After a warmup step the sampler must allocate more samples to the
+    higher-variance half of the frame than to the sky half."""
+    scene = default_scene()
+    spp = 2
+    cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN,
+                       pallas_interpret=spp, adaptive_min=1,
+                       adaptive_max_factor=2.0)
+    settings = RenderSettings.make(samples_per_step=spp)
+    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    work = to_device_batch(make_worklist(W, H))
+    lum2 = jnp.zeros(work.u.shape[0], jnp.float32)
+    work, lum2 = adaptive_render_step(
+        scene, settings, cfg, work, lum2, make_base_key(9), env)
+    buds = np.asarray(compute_budgets(
+        work.r, work.g, work.b, lum2, work.sample_count,
+        block_size=BLOCK, samples_per_step=spp, min_spp=1, max_spp=4,
+    ))
+    var = np.asarray(lum2) / spp - (np.asarray(
+        LUM_R * work.r + LUM_G * work.g + LUM_B * work.b) / spp) ** 2
+    blocks = var.reshape(-1, BLOCK).sum(axis=1)
+    assert buds[np.argmax(blocks)] >= buds[np.argmin(blocks)]
+    assert buds.min() >= 1 and buds.max() <= 4
