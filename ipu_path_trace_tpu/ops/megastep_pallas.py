@@ -172,8 +172,11 @@ def _kernel(
     # Hardware-PRNG mode uses it as the sample-loop bound; host-noise
     # parity mode traces every noise row but GATES the contributions of
     # rows >= budget to zero, which consumes the identical noise layout
-    # while computing the identical estimator.
-    bud_f = bud_ref[0, 0].astype(jnp.float32) if has_budgets else None
+    # while computing the identical estimator.  The whole (G, 1) budget
+    # table rides SMEM (Mosaic requires sub-array blocks to tile 8x128,
+    # so a (1,1) per-block spec is rejected); each block reads its row:
+    bud = bud_ref[pl.program_id(0), 0] if has_budgets else None
+    bud_f = bud.astype(jnp.float32) if has_budgets else None
 
     def one_sample(sample_idx, carry):
         if with_stats:
@@ -301,7 +304,7 @@ def _kernel(
         for s in range(host_samples):
             carry = one_sample(s, carry)
     else:
-        n_samples = bud_ref[0, 0] if has_budgets else ipar_ref[0, 3]
+        n_samples = bud if has_budgets else ipar_ref[0, 3]
         carry = jax.lax.fori_loop(0, n_samples, one_sample, init)
 
     if with_stats:
@@ -443,10 +446,10 @@ def render_megastep_pallas(
     ]
     inputs = [fpar, ipar, scal, sph, dsc, cols, rows, *kernels_t, *biases_c]
     if budgets is not None:
-        in_specs.append(
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
-        )
-        inputs.append(budgets.astype(jnp.int32).reshape(-1, 1))
+        # Full (G, 1) table in SMEM, indexed by program_id in-kernel:
+        bud2 = budgets.astype(jnp.int32).reshape(-1, 1)
+        in_specs.append(smem(bud2))
+        inputs.append(bud2)
     if noise is not None:
         in_specs.append(
             pl.BlockSpec(

@@ -76,7 +76,7 @@ def compute_budgets(
     *,
     block_size: int,
     samples_per_step,  # int or traced int32: the per-record average budget
-    min_spp: int,
+    min_spp,  # int or traced int32 floor
     max_spp,  # int or traced int32 cap
 ) -> jnp.ndarray:
     """Per-block sample budgets for the next step (all jnp; runs on device).
@@ -103,10 +103,11 @@ def compute_budgets(
 
     spp_f = jnp.asarray(samples_per_step).astype(jnp.float32)
     max_f = jnp.asarray(max_spp).astype(jnp.float32)
+    min_f = jnp.asarray(min_spp).astype(jnp.float32)
     total = spp_f * n_blocks
-    extra = total - float(min_spp) * n_blocks  # to distribute by score
+    extra = total - min_f * n_blocks  # to distribute by score
     w = sigma / jnp.maximum(sigma.sum(), 1e-30)
-    raw = float(min_spp) + w * extra
+    raw = min_f + w * extra
     capped = jnp.minimum(raw, max_f)
     # One redistribution pass: hand what the cap clipped to the UNCAPPED
     # blocks in proportion to their score (never to zero-variance blocks
@@ -115,7 +116,7 @@ def compute_budgets(
     spill_w = jnp.where(raw < max_f, sigma, 0.0)
     spill_w = spill_w / jnp.maximum(spill_w.sum(), 1e-30)
     capped = jnp.minimum(capped + spill_w * shortfall, max_f)
-    budgets = jnp.clip(jnp.round(capped), float(min_spp), max_f).astype(jnp.int32)
+    budgets = jnp.clip(jnp.round(capped), min_f, max_f).astype(jnp.int32)
 
     uniform = jnp.full((n_blocks,), 1, jnp.int32) * jnp.asarray(
         samples_per_step
@@ -190,7 +191,9 @@ def adaptive_render_step_impl(
         budgets = compute_budgets(
             work.r, work.g, work.b, lum2, work.sample_count,
             block_size=block, samples_per_step=spp,
-            min_spp=cfg.adaptive_min,
+            # An interactive spp below the configured floor must still
+            # work (the budget floor can never exceed the average):
+            min_spp=jnp.minimum(jnp.int32(cfg.adaptive_min), spp),
             max_spp=cap,
         )
         seed = jax.random.bits(step_key, (2,), jnp.uint32).astype(jnp.int32)

@@ -31,7 +31,14 @@ from ..film.film import Film
 from ..film.imageio import save_images
 from ..models.envlight import ConstantEnv, NifEnv, TextureEnv
 from ..models.nif import analyse_nif, load_nif_assets
-from ..parallel.mesh import make_mesh, make_step_fn, replicate, shard_work
+from ..parallel.mesh import (
+    make_adaptive_step_fn,
+    make_mesh,
+    make_step_fn,
+    replicate,
+    shard_array,
+    shard_work,
+)
 from ..render.params import RenderSettings, StaticConfig
 from ..render.wavefront import make_base_key
 from ..utils.logging import logger
@@ -191,6 +198,9 @@ class PathTracerApp:
             max_path_length=self.cfg.max_path_length,
             aa_noise_type=self.cfg.aa_noise_type,
             use_pallas=self.cfg.use_pallas,
+            pallas_interpret=self.cfg.pallas_interpret,
+            adaptive_min=self.cfg.adaptive_min,
+            adaptive_max_factor=self.cfg.adaptive_max_factor,
         )
 
     def local_samples(self, samples_per_step: int) -> int:
@@ -273,6 +283,15 @@ class PathTracerApp:
 
         step_fn = make_step_fn(self.static_config(), self.mesh, rng_impl=self.cfg.rng_impl)
         self.programs.add("path_trace", step_fn)
+        adaptive_fn = None
+        if cfg.adaptive:
+            if not isinstance(self.env, NifEnv):
+                raise ValueError(
+                    "--adaptive requires a NIF environment (--assets <dir>); "
+                    "the budget controller lives in the fused megastep")
+            adaptive_fn = make_adaptive_step_fn(
+                self.static_config(), self.mesh, rng_impl=self.cfg.rng_impl)
+            self.programs.add("path_trace_adaptive", adaptive_fn)
 
         if cfg.load_exe:
             with self.trace.span("load_exe"):
@@ -286,9 +305,22 @@ class PathTracerApp:
                 # Trigger compilation (and warm the persistent cache):
                 out = step_fn(*args)
                 jax.block_until_ready(out)
+                to_save = {"path_trace": args}
+                if adaptive_fn is not None:
+                    a_args = args[:3] + (self._fresh_lum2(),) + args[3:]
+                    jax.block_until_ready(adaptive_fn(*a_args))
+                    to_save["path_trace_adaptive"] = a_args
             if cfg.save_exe:
                 with self.trace.span("save_exe"):
-                    self.programs.save(cfg.save_exe, {"path_trace": args})
+                    self.programs.save(cfg.save_exe, to_save)
+
+    def _fresh_lum2(self):
+        """Zeroed per-record second-moment accumulator (adaptive mode),
+        sharded like the worklist."""
+        l2 = jnp.zeros(len(self.balancer.work.active), jnp.float32)
+        if self.mesh is not None:
+            l2 = shard_array(l2, self.mesh)
+        return l2
 
     def _example_args(self):
         work = to_device_batch(self.balancer.work.active)
@@ -341,6 +373,8 @@ class PathTracerApp:
         # at save-interval.
         device_film = cfg.device_film
         work_dev_resident = None
+        lum2_dev = None  # adaptive mode: per-record second moments
+        fetched_l2 = None
         df_dirty = False  # device-resident samples newer than the film?
         raster_perm = None
         if device_film:
@@ -437,10 +471,21 @@ class PathTracerApp:
             if device_film:
                 from ..core.records import WorkBatch
 
+                lum2_saved = saved.pop("lum2", None)
                 work_dev_resident = WorkBatch(
                     **{k: jnp.asarray(v) for k, v in saved.items()})
                 if self.mesh is not None:
                     work_dev_resident = shard_work(work_dev_resident, self.mesh)
+                if cfg.adaptive:
+                    # Budgets derive from (work, lum2), so restoring both
+                    # continues the adaptive schedule bitwise-identically.
+                    if lum2_saved is None:
+                        raise ValueError(
+                            "checkpoint has no adaptive lum2 state; it was "
+                            "written without --adaptive")
+                    lum2_dev = jnp.asarray(lum2_saved)
+                    if self.mesh is not None:
+                        lum2_dev = shard_array(lum2_dev, self.mesh)
                 df_dirty = True
             else:
                 film.hdr[...] = saved["hdr"]
@@ -529,6 +574,7 @@ class PathTracerApp:
                         disk_pending["norm"] = 0  # film is empty again
                         balancer.clear_active_accumulators()
                         work_dev_resident = None  # device-film: re-upload cleared
+                        lum2_dev = None  # adaptive: restart the schedule too
                         ckpt_written["step"] = 0  # restart: re-checkpoint from 1
                         start_time = time.monotonic()
                         step = 1
@@ -577,10 +623,18 @@ class PathTracerApp:
                         work_dev_resident = to_device_batch(balancer.work.active)
                         if self.mesh is not None:
                             work_dev_resident = shard_work(work_dev_resident, self.mesh)
-                    work_dev_resident = self.programs.run(
-                        "path_trace", self.scene, settings, work_dev_resident,
-                        step_key, self.env,
-                    )
+                    if cfg.adaptive:
+                        if lum2_dev is None:
+                            lum2_dev = self._fresh_lum2()
+                        work_dev_resident, lum2_dev = self.programs.run(
+                            "path_trace_adaptive", self.scene, settings,
+                            work_dev_resident, lum2_dev, step_key, self.env,
+                        )
+                    else:
+                        work_dev_resident = self.programs.run(
+                            "path_trace", self.scene, settings, work_dev_resident,
+                            step_key, self.env,
+                        )
                     fetched = None
                     if step % cfg.save_interval == 0 or step == steps:
                         # Fetch the SoA batch as-is: the u16 wire record
@@ -589,6 +643,8 @@ class PathTracerApp:
                         # film must accumulate from the int32 counts
                         # (Film.accumulate_soa).
                         fetched = jax.tree.map(np.asarray, work_dev_resident)
+                        fetched_l2 = (np.asarray(lum2_dev)
+                                      if cfg.adaptive else None)
                     elif step % 16 == 0:
                         # Drain the dispatch queue: every enqueued step
                         # pre-allocates its 20 B/pixel output in HBM, so
@@ -639,13 +695,17 @@ class PathTracerApp:
                     ui_server.update_progress(step, steps)
                 if fetched is not None:
                     def device_film_processing(step=step, wb=fetched,
+                                               l2=fetched_l2,
                                                ui=ui_server, fp=current_fp()):
                         with self.trace.span("accumulate_framebuffers"):
                             film.reset()
                             film.accumulate_soa(
                                 wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count
                             )
-                        write_ckpt(step, soa=wb._asdict(), fp=fp)
+                        soa = wb._asdict()
+                        if l2 is not None:
+                            soa["lum2"] = l2  # adaptive schedule state
+                        write_ckpt(step, soa=soa, fp=fp)
                         disk_pending["norm"] = 1
                         if ui is not None:
                             ui.start_sending_raw_image(film.hdr_at_step(1))
@@ -756,7 +816,10 @@ class PathTracerApp:
                 wb = jax.tree.map(np.asarray, work_dev_resident)
                 film.reset()
                 film.accumulate_soa(wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count)
-            write_ckpt(step - 1, soa=wb._asdict())
+            soa = wb._asdict()
+            if cfg.adaptive and lum2_dev is not None:
+                soa["lum2"] = np.asarray(lum2_dev)
+            write_ckpt(step - 1, soa=soa)
             disk_pending["norm"] = 1
             if ui_server is not None:
                 ui_server.start_sending_raw_image(film.hdr_at_step(1))

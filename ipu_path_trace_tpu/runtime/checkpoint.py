@@ -52,6 +52,7 @@ _FINGERPRINT_FIELDS = (
     "refractive_index", "env_map_rotation", "aperture", "focal_distance",
     "partials_type", "use_pallas", "nif_mode", "device_film",
     "ipus", "mesh_shape", "enable_load_balancing", "layout",
+    "adaptive", "adaptive_min", "adaptive_max_factor",
 )
 
 # Fields added after checkpoints already existed in the wild: a saved
@@ -61,7 +62,10 @@ _FIELD_DEFAULTS = {"enable_load_balancing": False,
                    # Checkpoints that predate --layout were rendered with
                    # raster-ordered worklists (per-lane noise is
                    # position-keyed, so the layout is numerics-affecting):
-                   "layout": "raster"}
+                   "layout": "raster",
+                   "adaptive": False,
+                   "adaptive_min": 8,
+                   "adaptive_max_factor": 4.0}
 
 _FORMAT = 1
 

@@ -145,6 +145,21 @@ def build_parser() -> argparse.ArgumentParser:
                           "file when it exists, start fresh when it does "
                           "not - one identical command line serves the "
                           "first launch and every post-preemption restart.")
+    tpu.add_argument("--adaptive", action="store_true", default=False,
+                     help="Adaptive per-block sampling: allocate each step's "
+                          "sample budget across kernel blocks by measured "
+                          "luminance variance (Neyman allocation) instead of "
+                          "uniformly - sky blocks stop paying the NIF cost "
+                          "for samples that no longer reduce error.  "
+                          "Unbiased (the film normalises per record) and "
+                          "deterministic.  Needs --device-film and a NIF "
+                          "environment.")
+    tpu.add_argument("--adaptive-min", type=int, default=8,
+                     help="Adaptive sampling: per-block budget floor "
+                          "(samples per step).")
+    tpu.add_argument("--adaptive-max-factor", type=float, default=4.0,
+                     help="Adaptive sampling: per-block budget cap as a "
+                          "multiple of --samples-per-step.")
     tpu.add_argument("--rng-impl", default="auto",
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "
@@ -203,6 +218,9 @@ def parse_config(argv=None) -> Config:
         resume=args.resume,
         auto_resume=args.auto_resume,
         metrics_file=args.metrics_file,
+        adaptive=args.adaptive,
+        adaptive_min=args.adaptive_min,
+        adaptive_max_factor=args.adaptive_max_factor,
     )
     cfg.validate()
     return cfg

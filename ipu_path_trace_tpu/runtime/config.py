@@ -103,6 +103,23 @@ class Config:
     # ({step, seconds, samples_per_sec, ...}) plus a final summary line.
     # The reference only logs free text (PathTracerApp.cpp:763-776).
     metrics_file: str = ""
+    # Adaptive per-block sampling (render/adaptive.py): allocate each
+    # step's sample budget across kernel blocks by measured luminance
+    # variance (Neyman allocation) instead of uniformly.  Unbiased (the
+    # film normalises per record) and deterministic (budgets derive from
+    # accumulated state).  Needs --device-film (int32 counts + on-device
+    # controller) and the fused NIF megastep.  The reference always
+    # samples uniformly (PathTracerApp.cpp:466-468).
+    adaptive: bool = False
+    adaptive_min: int = 8  # per-block budget floor (samples/step)
+    adaptive_max_factor: float = 4.0  # budget cap = factor * samples-per-step
+    # Deterministic-replay / test knob (no CLI flag): > 0 runs the
+    # production Pallas kernels in host-noise mode with this static
+    # per-step sample count (StaticConfig.pallas_interpret) - the real
+    # kernel on TPU, the emulated kernel elsewhere.  Lets app-level
+    # tests drive Pallas-only paths (e.g. --adaptive) on the CPU mesh.
+    # Callers must keep samples_per_step equal to it.
+    pallas_interpret: int = 0
 
     def validate(self) -> None:
         if self.save_exe and self.load_exe:
@@ -134,6 +151,26 @@ class Config:
         if self.layout not in ("coherent", "raster"):
             raise ValueError(f"unknown --layout '{self.layout}' "
                              "(choices: coherent, raster)")
+        if self.adaptive:
+            if not self.device_film:
+                raise ValueError(
+                    "--adaptive needs --device-film (int32 per-record "
+                    "counts and the on-device budget controller)")
+            if not self.use_pallas:
+                raise ValueError("--adaptive needs the fused Pallas "
+                                 "megastep (--use-pallas)")
+            if self.nif_mode != "fused":
+                raise ValueError("--adaptive needs --nif-mode fused "
+                                 "(budgets live in the fused megastep)")
+            if self.adaptive_min < 1:
+                raise ValueError("--adaptive-min must be >= 1")
+            if self.adaptive_max_factor < 1.0:
+                raise ValueError("--adaptive-max-factor must be >= 1")
+            if self.samples_per_step < self.adaptive_min or (
+                    self.ui_port and self.interactive_samples < self.adaptive_min):
+                raise ValueError(
+                    "samples-per-step (and interactive-samples with a UI) "
+                    "must be >= --adaptive-min")
         if self.auto_resume and not self.checkpoint:
             raise ValueError("--auto-resume needs --checkpoint (the file "
                              "it resumes from and keeps writing)")

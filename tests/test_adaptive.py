@@ -206,6 +206,96 @@ def test_adaptive_step_bookkeeping_and_determinism():
     np.testing.assert_array_equal(np.asarray(lum2_3), np.asarray(lum2_3b))
 
 
+def _nif_assets_dir(tmp_path):
+    """Reference-format NIF assets dir from synthetic weights."""
+    from ipu_path_trace_tpu.models.train_nif import save_assets
+
+    weights, meta = make_synthetic_nif(key=3, hidden=32, num_hidden=2,
+                                       skip_layer=1)
+    out = str(tmp_path / "nif_assets")
+    save_assets(out, weights, meta, ["synthetic"])
+    return out
+
+
+def _app_cfg(tmp_path, tag, **kw):
+    from ipu_path_trace_tpu.runtime.config import Config
+
+    spp = 2
+    base = dict(
+        outfile=str(tmp_path / f"ad_{tag}.png"),
+        assets=_nif_assets_dir(tmp_path),
+        width=32, height=16,  # 512 records = 2 interpret blocks
+        samples=8, samples_per_step=spp, save_interval=2, seed=5,
+        max_path_length=4, device_film=True, adaptive=True,
+        adaptive_min=1, adaptive_max_factor=2.0,
+        # Host-noise mode: the production Pallas megastep (emulated on
+        # CPU) - the only kernel that carries the budget controller.
+        pallas_interpret=spp,
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    cfg.validate()
+    return cfg
+
+
+def _app_run(cfg, max_steps=None):
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    return app.execute(max_steps=max_steps)
+
+
+def test_adaptive_app_end_to_end(tmp_path):
+    """--adaptive through the full application loop (device-film mode,
+    fused megastep in host-noise mode on CPU): finite image, outputs
+    saved, and the run is reproducible."""
+    film = _app_run(_app_cfg(tmp_path, "e2e"))
+    hdr = film.hdr_at_step(1)
+    assert np.isfinite(hdr).all() and hdr.max() > 0
+    import os
+
+    assert os.path.exists(str(tmp_path / "ad_e2e.png"))
+    film2 = _app_run(_app_cfg(tmp_path, "e2e2"))
+    np.testing.assert_array_equal(film2.hdr_at_step(1), hdr)
+
+
+def test_adaptive_resume_bitwise(tmp_path):
+    """Interrupt + resume an adaptive render: the lum2 moments ride the
+    checkpoint, budgets replay from restored state, and the result is
+    bitwise-identical to the uninterrupted run."""
+    full = _app_run(_app_cfg(tmp_path, "full"))
+    full_hdr = full.hdr_at_step(1).copy()
+    ck = str(tmp_path / "ad_state.npz")
+    _app_run(_app_cfg(tmp_path, "a", checkpoint=ck), max_steps=2)
+    second = _app_run(_app_cfg(tmp_path, "b", resume=ck))
+    np.testing.assert_array_equal(second.hdr_at_step(1), full_hdr)
+
+
+def test_adaptive_cli_and_validation(tmp_path):
+    from ipu_path_trace_tpu.runtime.cli import parse_config
+    import pytest
+
+    with pytest.raises(ValueError, match="device-film"):
+        parse_config(["-o", "out.png", "--assets", "x", "--adaptive"])
+    cfg = parse_config(["-o", "out.png", "--assets", "x", "--adaptive", "--device-film",
+                        "--adaptive-min", "4", "--adaptive-max-factor", "3"])
+    assert cfg.adaptive and cfg.adaptive_min == 4
+    assert cfg.adaptive_max_factor == 3.0
+    with pytest.raises(ValueError, match="adaptive-min"):
+        parse_config(["-o", "out.png", "--assets", "x", "--adaptive", "--device-film",
+                      "--adaptive-min", "0"])
+    # A non-NIF environment fails at build time with a clear error:
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+
+    bad = _app_cfg(tmp_path, "bad", assets="constant:1,1,1")
+    app = PathTracerApp(bad)
+    app.init()
+    with pytest.raises(ValueError, match="NIF"):
+        app.build()
+
+
 def test_adaptive_budgets_shift_toward_variance():
     """After a warmup step the sampler must allocate more samples to the
     higher-variance half of the frame than to the sky half."""

@@ -239,6 +239,79 @@ def test_sharded_uneven_padding_matches_singlechip():
     assert (np.asarray(out_sharded.u)[70:] == 0xFFFF).all()
 
 
+def test_sharded_adaptive_equals_singlechip_exactly():
+    """Adaptive sampling (render/adaptive.py) through shard_map: each
+    pixel shard runs its own on-device budget controller on LOCAL
+    moments; sample-axis replicas hold identical moments so compute
+    identical budgets and psum-reduce.  Two steps so the second uses
+    REAL (non-cold-start) budgets over 4 blocks/shard, compared exactly
+    against the single-device replay of the same folds."""
+    from ipu_path_trace_tpu.parallel.mesh import sharded_adaptive_render_step
+    from ipu_path_trace_tpu.render.adaptive import adaptive_render_step
+
+    w = h = 64  # 4096 records; 4x2 mesh -> 1024/shard = 4 interpret blocks
+    n_px, n_sm = 4, 2
+    mesh = make_mesh(8, "4x2")
+    scene = default_scene()
+    env = _nif_env()
+    spp = 2
+    cfg = StaticConfig(width=w, height=h, max_path_length=3,
+                       pallas_interpret=spp, adaptive_min=1,
+                       adaptive_max_factor=2.0)
+    settings = RenderSettings.make(samples_per_step=spp)
+    work = to_device_batch(make_worklist(w, h))
+    lum2 = jnp.zeros(work.u.shape[0], jnp.float32)
+    key = jax.random.key(23)
+
+    out_s, l2_s = shard_work(work, mesh), jax.device_put(
+        lum2, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("pixels")))
+    for step in (1, 2):
+        out_s, l2_s = sharded_adaptive_render_step(
+            replicate(scene, mesh), settings, cfg, out_s, l2_s,
+            jax.random.fold_in(key, step), replicate(env, mesh), mesh,
+        )
+
+    # Single-device replay of the sharded semantics:
+    per = work.u.shape[0] // n_px
+    parts, l2_parts = [], []
+    for i in range(n_px):
+        wl = jax.tree.map(lambda x: x[i * per: (i + 1) * per], work)
+        l2l = lum2[i * per: (i + 1) * per]
+        for step in (1, 2):
+            acc = l2acc = None
+            for s in range(n_sm):
+                k = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(key, step), i), s)
+                o, l2o = adaptive_render_step(
+                    scene, settings, cfg, wl, l2l, k, env)
+                d = jax.tree.map(lambda a, b: a - b, o, wl)
+                dl = l2o - l2l
+                acc = d if acc is None else jax.tree.map(
+                    lambda a, b: a + b, acc, d)
+                l2acc = dl if l2acc is None else l2acc + dl
+            wl = jax.tree.map(lambda a, b: a + b, wl, acc)
+            l2l = l2l + l2acc
+        parts.append(wl)
+        l2_parts.append(l2l)
+    from ipu_path_trace_tpu.core.records import WorkBatch
+
+    out_1 = WorkBatch(*[jnp.concatenate([getattr(o, f) for o in parts])
+                        for f in WorkBatch._fields])
+    l2_1 = jnp.concatenate(l2_parts)
+
+    for f in out_1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_s, f)), np.asarray(getattr(out_1, f)),
+            rtol=1e-6, atol=1e-7, err_msg=f)
+    np.testing.assert_allclose(np.asarray(l2_s), np.asarray(l2_1),
+                               rtol=1e-6, atol=1e-7)
+    # The controller really adapted: counts vary across blocks by step 2,
+    # and every replica pair agreed (counts are exact multiples of n_sm):
+    counts = np.asarray(out_s.sample_count)
+    assert counts.min() != counts.max()
+    assert (counts % n_sm == 0).all()
+
+
 def test_worklist_divisibility_error():
     mesh = make_mesh(8, "8x1")
     scene = replicate(default_scene(), mesh)
