@@ -121,7 +121,10 @@ def compute_budgets(
     uniform = jnp.full((n_blocks,), 1, jnp.int32) * jnp.asarray(
         samples_per_step
     ).astype(jnp.int32)
-    fallback = (sample_count.sum() == 0) | (sigma.sum() <= 0.0)
+    # f32 sum: an int32 count sum wraps on long renders (1M records x
+    # 100k spp >> 2^31) and could spuriously trip the cold-start branch.
+    fallback = (sample_count.astype(jnp.float32).sum() == 0.0) | (
+        sigma.sum() <= 0.0)
     return jnp.where(fallback, uniform, budgets)
 
 

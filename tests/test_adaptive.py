@@ -33,15 +33,16 @@ from ipu_path_trace_tpu.render.wavefront import make_base_key
 
 W, H = 32, 16  # 512 records = exactly 2 interpret-mode blocks of 256
 BLOCK = 256
-MAXLEN = 4
-S_MAX = 4
+MAXLEN = 3
+S_MAX = 3
 
 
 def _setup():
     scene = default_scene()
     cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN)
     settings = RenderSettings.make(samples_per_step=S_MAX)
-    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    weights, meta = make_synthetic_nif(key=5, hidden=32, num_hidden=2,
+                                       skip_layer=1)
     params = make_params(weights, meta, jnp.bfloat16)
     work = make_worklist(W, H)
     cols = jnp.asarray(work["u"], jnp.float32)
@@ -66,7 +67,7 @@ def test_budgeted_kernel_decomposes_into_per_block_runs():
     noise, EXACTLY (gating zeroes contributions, it never changes any
     ungated sample's arithmetic)."""
     scene, cfg, settings, params, cols, rows, noise = _setup()
-    budgets = [3, 1]
+    budgets = [2, 1]
     out = _run(scene, settings, params, cols, rows, noise,
                budgets=jnp.asarray(budgets, jnp.int32))
     for g, b in enumerate(budgets):
@@ -98,7 +99,7 @@ def test_lum2_stats_match_per_sample_runs():
     """with_stats accumulates sum_s luminance(sample_s total)^2: check
     against single-sample runs (whose radiance IS one sample's total)."""
     scene, cfg, settings, params, cols, rows, noise = _setup()
-    budgets = [2, S_MAX]
+    budgets = [1, S_MAX]
     out = _run(scene, settings, params, cols, rows, noise,
                budgets=jnp.asarray(budgets, jnp.int32), with_stats=True)
     for g, b in enumerate(budgets):
@@ -163,7 +164,8 @@ def test_adaptive_step_bookkeeping_and_determinism():
                        pallas_interpret=spp, adaptive_min=1,
                        adaptive_max_factor=2.0)
     settings = RenderSettings.make(samples_per_step=spp)
-    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    weights, meta = make_synthetic_nif(key=5, hidden=32, num_hidden=2,
+                                       skip_layer=1)
     env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
     base = make_base_key(7)
 
@@ -225,9 +227,9 @@ def _app_cfg(tmp_path, tag, **kw):
         outfile=str(tmp_path / f"ad_{tag}.png"),
         assets=_nif_assets_dir(tmp_path),
         width=32, height=16,  # 512 records = 2 interpret blocks
-        samples=8, samples_per_step=spp, save_interval=2, seed=5,
-        max_path_length=4, device_film=True, adaptive=True,
-        adaptive_min=1, adaptive_max_factor=2.0,
+        samples=4, samples_per_step=spp, save_interval=1, seed=5,
+        max_path_length=3, device_film=True, adaptive=True,
+        adaptive_min=1, adaptive_max_factor=1.5,
         # Host-noise mode: the production Pallas megastep (emulated on
         # CPU) - the only kernel that carries the budget controller.
         pallas_interpret=spp,
@@ -268,7 +270,7 @@ def test_adaptive_resume_bitwise(tmp_path):
     full = _app_run(_app_cfg(tmp_path, "full"))
     full_hdr = full.hdr_at_step(1).copy()
     ck = str(tmp_path / "ad_state.npz")
-    _app_run(_app_cfg(tmp_path, "a", checkpoint=ck), max_steps=2)
+    _app_run(_app_cfg(tmp_path, "a", checkpoint=ck), max_steps=1)
     second = _app_run(_app_cfg(tmp_path, "b", resume=ck))
     np.testing.assert_array_equal(second.hdr_at_step(1), full_hdr)
 
@@ -305,7 +307,8 @@ def test_adaptive_budgets_shift_toward_variance():
                        pallas_interpret=spp, adaptive_min=1,
                        adaptive_max_factor=2.0)
     settings = RenderSettings.make(samples_per_step=spp)
-    weights, meta = make_synthetic_nif(key=5, hidden=64, num_hidden=3)
+    weights, meta = make_synthetic_nif(key=5, hidden=32, num_hidden=2,
+                                       skip_layer=1)
     env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
     work = to_device_batch(make_worklist(W, H))
     lum2 = jnp.zeros(work.u.shape[0], jnp.float32)

@@ -249,9 +249,9 @@ def test_sharded_adaptive_equals_singlechip_exactly():
     from ipu_path_trace_tpu.parallel.mesh import sharded_adaptive_render_step
     from ipu_path_trace_tpu.render.adaptive import adaptive_render_step
 
-    w = h = 64  # 4096 records; 4x2 mesh -> 1024/shard = 4 interpret blocks
-    n_px, n_sm = 4, 2
-    mesh = make_mesh(8, "4x2")
+    w, h = 32, 32  # 1024 records; 2x2 mesh -> 512/shard = 2 interpret blocks
+    n_px, n_sm = 2, 2
+    mesh = make_mesh(4, "2x2")
     scene = default_scene()
     env = _nif_env()
     spp = 2
