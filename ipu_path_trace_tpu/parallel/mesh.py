@@ -129,9 +129,11 @@ def sharded_adaptive_render_step_impl(
     """Adaptive render step (render/adaptive.py) sharded over the mesh.
 
     Each pixel shard runs its own controller on its LOCAL accumulated
-    moments - budgets need no collectives, and every chip spends the
-    same per-step total (G_local * samples_per_step), so chips stay in
-    lockstep while samples redistribute within each chip.  On the
+    moments - budgets need no collectives, and every chip targets the
+    same per-step total (G_local * samples_per_step; exact when no
+    block hits the cap, slightly under otherwise - compute_budgets),
+    so chips stay in near-lockstep while samples redistribute within
+    each chip.  On the
     samples axis the replicas hold identical psum'd moments, therefore
     compute identical budgets, and their decorrelated contributions
     psum-reduce exactly like the uniform step's.

@@ -56,15 +56,13 @@ TPU_BLOCK = 2048
 
 
 def adaptive_block_size(cfg: StaticConfig) -> int:
+    """The kernel grid blocking the controller must agree with - the
+    single source for both adaptive_render_step_impl and tooling."""
     host_noise = cfg.pallas_interpret > 0
     interp = host_noise and jax.default_backend() != "tpu"
     from .wavefront import _INTERPRET_BLOCK
 
     return _INTERPRET_BLOCK if interp else TPU_BLOCK
-
-
-def num_blocks(p: int, block_size: int) -> int:
-    return (p + block_size - 1) // block_size
 
 
 def compute_budgets(
@@ -109,9 +107,13 @@ def compute_budgets(
     w = sigma / jnp.maximum(sigma.sum(), 1e-30)
     raw = min_f + w * extra
     capped = jnp.minimum(raw, max_f)
-    # One redistribution pass: hand what the cap clipped to the UNCAPPED
-    # blocks in proportion to their score (never to zero-variance blocks
-    # - if every scored block is capped the step simply spends less).
+    # ONE redistribution pass: hand what the cap clipped to the UNCAPPED
+    # blocks in proportion to their score (never to zero-variance
+    # blocks).  Residual the spill itself pushes past the cap is
+    # DROPPED, not re-spilled - so whenever caps bind, the step spends
+    # slightly under the nominal total (budget, not contract; the mean
+    # measured at the canonical config is 127.8 vs the nominal 128,
+    # docs/ADAPTIVE.json).
     shortfall = jnp.maximum(raw - capped, 0.0).sum()
     spill_w = jnp.where(raw < max_f, sigma, 0.0)
     spill_w = spill_w / jnp.maximum(spill_w.sum(), 1e-30)
@@ -148,7 +150,7 @@ def adaptive_render_step_impl(
     """
     from ..models.envlight import NifEnv
     from ..ops.megastep_pallas import render_megastep_pallas
-    from .wavefront import _INTERPRET_BLOCK, step_noise
+    from .wavefront import step_noise
 
     if not isinstance(env, NifEnv):
         raise ValueError("adaptive sampling requires the NIF environment "
@@ -161,7 +163,7 @@ def adaptive_render_step_impl(
             "adaptive sampling requires the fused Pallas megastep (TPU, or "
             "pallas_interpret host-noise mode elsewhere)")
 
-    block = _INTERPRET_BLOCK if interp else TPU_BLOCK
+    block = adaptive_block_size(cfg)
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
     p = cols.shape[0]

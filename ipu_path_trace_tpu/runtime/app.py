@@ -297,6 +297,15 @@ class PathTracerApp:
             with self.trace.span("load_exe"):
                 if not self.programs.load(cfg.load_exe):
                     raise RuntimeError(f"Could not load executable '{cfg.load_exe}'")
+                if cfg.adaptive and not self.programs.has_loaded(
+                        "path_trace_adaptive"):
+                    # Fail loudly, matching exe_cache's save-side design:
+                    # a quiet JIT fallback would pay the minutes-long
+                    # compile --load-exe exists to skip.
+                    raise RuntimeError(
+                        f"executable '{cfg.load_exe}' was saved without "
+                        "--adaptive (no path_trace_adaptive program); "
+                        "re-save with --adaptive --save-exe")
             return
 
         if cfg.save_exe or cfg.compile_only:
@@ -527,6 +536,15 @@ class PathTracerApp:
             # mesh the sharded step is timed and reported per chip.
             from ..utils.devtime import log_phase_split, measure_phases
 
+            if cfg.adaptive:
+                # measure_phases times the UNIFORM step at nominal spp;
+                # adaptive reallocates samples across blocks, so treat
+                # the split as the per-sample baseline, not this run's
+                # exact phase shares.
+                logger().warning(
+                    "--device-timing with --adaptive reports the uniform "
+                    "step's phase split (the adaptive schedule shifts "
+                    "samples between blocks)")
             with self.trace.span("device_timing"):
                 split = measure_phases(
                     self.scene, self.settings(self.samples_per_step),

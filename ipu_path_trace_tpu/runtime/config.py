@@ -171,6 +171,16 @@ class Config:
                 raise ValueError(
                     "samples-per-step (and interactive-samples with a UI) "
                     "must be >= --adaptive-min")
+        if self.pallas_interpret > 0:
+            # The knob OVERRIDES the dynamic per-step sample count with a
+            # static one; a mismatch would silently render the wrong
+            # total (render/params.py StaticConfig.pallas_interpret).
+            if self.samples_per_step != self.pallas_interpret or (
+                    self.ui_port and
+                    self.interactive_samples != self.pallas_interpret):
+                raise ValueError(
+                    "pallas_interpret (host-noise replay) must equal "
+                    "samples-per-step (and interactive-samples with a UI)")
         if self.auto_resume and not self.checkpoint:
             raise ValueError("--auto-resume needs --checkpoint (the file "
                              "it resumes from and keeps writing)")

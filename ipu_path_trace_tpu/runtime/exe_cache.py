@@ -72,6 +72,11 @@ class ProgramManager:
     def names(self) -> list[str]:
         return sorted(set(self._programs) | set(self._loaded))
 
+    def has_loaded(self, name: str) -> bool:
+        """True when ``name`` came from a deserialised executable (run()
+        will call the AOT program, not JIT)."""
+        return name in self._loaded
+
     def run(self, name: str, *args):
         if name in self._loaded:
             try:

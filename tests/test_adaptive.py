@@ -298,6 +298,50 @@ def test_adaptive_cli_and_validation(tmp_path):
         app.build()
 
 
+def test_pallas_interpret_must_match_spp():
+    """The host-noise replay knob OVERRIDES the per-step sample count;
+    a silent mismatch would render the wrong total."""
+    import pytest
+
+    from ipu_path_trace_tpu.runtime.config import Config
+
+    cfg = Config(assets="x", samples=8, samples_per_step=4, pallas_interpret=2)
+    with pytest.raises(ValueError, match="pallas_interpret"):
+        cfg.validate()
+    Config(assets="x", samples=8, samples_per_step=4,
+           pallas_interpret=4).validate()
+
+
+def test_load_exe_without_adaptive_program_fails_loudly(tmp_path):
+    """--load-exe of an executable saved without --adaptive must not
+    silently JIT-compile the adaptive program (exe_cache's fail-loud
+    design)."""
+    import pytest
+
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+    from ipu_path_trace_tpu.runtime.config import Config
+
+    assets = _nif_assets_dir(tmp_path)
+    prefix = str(tmp_path / "prog")
+    cfg1 = Config(outfile=str(tmp_path / "s.png"), assets=assets,
+                  width=16, height=16, samples=2, samples_per_step=2,
+                  save_exe=prefix, compile_only=True)
+    cfg1.validate()
+    app = PathTracerApp(cfg1)
+    app.init()
+    app.build()
+
+    cfg2 = Config(outfile=str(tmp_path / "l.png"), assets=assets,
+                  width=16, height=16, samples=2, samples_per_step=2,
+                  load_exe=prefix, device_film=True, adaptive=True,
+                  adaptive_min=1)
+    cfg2.validate()
+    app2 = PathTracerApp(cfg2)
+    app2.init()
+    with pytest.raises(RuntimeError, match="path_trace_adaptive"):
+        app2.build()
+
+
 def test_adaptive_budgets_shift_toward_variance():
     """After a warmup step the sampler must allocate more samples to the
     higher-variance half of the frame than to the sky half."""
