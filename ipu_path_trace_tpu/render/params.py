@@ -45,7 +45,7 @@ class StaticConfig(NamedTuple):
     # by the adaptive step).  Budgets are clipped to
     # [adaptive_min, adaptive_max_factor * samples_per_step]:
     adaptive_min: int = 8
-    adaptive_max_factor: float = 4.0
+    adaptive_max_factor: float = 16.0
 
 
 class RenderSettings(NamedTuple):

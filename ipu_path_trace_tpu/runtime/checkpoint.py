@@ -64,8 +64,10 @@ _FIELD_DEFAULTS = {"enable_load_balancing": False,
                    # position-keyed, so the layout is numerics-affecting):
                    "layout": "raster",
                    "adaptive": False,
-                   "adaptive_min": 8,
-                   "adaptive_max_factor": 4.0}
+                   # Inert without adaptive; normalised to None by
+                   # render_fingerprint for non-adaptive runs:
+                   "adaptive_min": None,
+                   "adaptive_max_factor": None}
 
 _FORMAT = 1
 
@@ -81,6 +83,10 @@ def render_fingerprint(cfg, overrides: dict | None = None) -> dict:
         if unknown:
             raise ValueError(f"unknown fingerprint fields: {unknown}")
         fp.update(overrides)
+    if not fp["adaptive"]:
+        # The budget knobs are inert without --adaptive: normalise them
+        # so uniform renders resume across knob-DEFAULT changes.
+        fp["adaptive_min"] = fp["adaptive_max_factor"] = None
     return fp
 
 

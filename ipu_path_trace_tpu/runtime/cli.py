@@ -157,7 +157,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--adaptive-min", type=int, default=8,
                      help="Adaptive sampling: per-block budget floor "
                           "(samples per step).")
-    tpu.add_argument("--adaptive-max-factor", type=float, default=4.0,
+    tpu.add_argument("--adaptive-max-factor", type=float, default=16.0,
                      help="Adaptive sampling: per-block budget cap as a "
                           "multiple of --samples-per-step.")
     tpu.add_argument("--rng-impl", default="auto",

@@ -112,7 +112,9 @@ class Config:
     # samples uniformly (PathTracerApp.cpp:466-468).
     adaptive: bool = False
     adaptive_min: int = 8  # per-block budget floor (samples/step)
-    adaptive_max_factor: float = 4.0  # budget cap = factor * samples-per-step
+    adaptive_max_factor: float = 16.0  # budget cap = factor * samples-per-step
+    # (knee of the measured efficiency curve: 2x->2.0x, 4x->3.2x, 16x->5.0x,
+    #  32x->6.1x, 64x->6.5x sample efficiency; docs/ADAPTIVE.json knob_sweep)
     # Deterministic-replay / test knob (no CLI flag): > 0 runs the
     # production Pallas kernels in host-noise mode with this static
     # per-step sample count (StaticConfig.pallas_interpret) - the real

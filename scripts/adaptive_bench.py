@@ -169,6 +169,10 @@ def main() -> None:
                          "mean": round(float(counts.mean()), 1)},
     }
     out = os.path.join(REPO, "docs", "ADAPTIVE.json")
+    if os.path.exists(out):  # keep knob_sweep / depth_check sections
+        prior = json.load(open(out))
+        prior.update(result)
+        result = prior
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"sample_efficiency_at_checkpoints": effs,

@@ -37,8 +37,8 @@ SPP_STEP = 128
 STEPS = 8  # 1024 spp-equivalent
 GT_SPP = int(os.environ.get("AK_GT_SPP", 16384))
 KNOBS = [  # (adaptive_min, adaptive_max_factor)
-    (8, 4.0),   # shipped defaults
-    (8, 2.0), (8, 8.0), (8, 16.0),
+    (8, 16.0),  # shipped defaults (the knee; see docs/ADAPTIVE.json)
+    (8, 2.0), (8, 4.0), (8, 8.0), (8, 32.0),
     (2, 4.0), (32, 4.0),
     (2, 16.0),
 ]
