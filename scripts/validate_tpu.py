@@ -81,6 +81,54 @@ def render_texture(use_pallas: bool, seed: int, width, height, spp):
     return film.hdr_at_step(1)
 
 
+def render_adaptive(use_adaptive: bool, seed: int, width, height, spp):
+    """Adaptive-vs-uniform on HARDWARE: both are unbiased estimators of
+    the same integral, so their means agree statistically - this drives
+    the per-block SMEM budget loop bound + lum2 stats carry on the real
+    chip (render/adaptive.py; the CPU tests cover interpret mode only).
+    Runs 4 steps so the controller leaves its uniform cold start."""
+    from ipu_path_trace_tpu.core.records import (
+        from_device_batch, make_worklist, to_device_batch,
+    )
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.film.film import Film
+    from ipu_path_trace_tpu.models.envlight import NifEnv
+    from ipu_path_trace_tpu.models.nif import make_params, make_synthetic_nif
+    from ipu_path_trace_tpu.render.adaptive import adaptive_render_step
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+    from ipu_path_trace_tpu.render.wavefront import make_base_key, render_step
+
+    steps = 4
+    weights, meta = make_synthetic_nif(key=0)
+    env = NifEnv(params=make_params(weights, meta, jnp.bfloat16))
+    scene = default_scene()
+    cfg = StaticConfig(width=width, height=height)
+    settings = RenderSettings.make(samples_per_step=spp // steps)
+    work = to_device_batch(make_worklist(width, height))
+    lum2 = jnp.zeros(work.u.shape[0], jnp.float32)
+    base = make_base_key(seed, "rbg")
+    for step in range(1, steps + 1):
+        k = jax.random.fold_in(base, step)
+        if use_adaptive:
+            work, lum2 = adaptive_render_step(
+                scene, settings, cfg, work, lum2, k, env)
+        else:
+            work = render_step(scene, settings, cfg, work, k, env)
+    wb = jax.tree.map(np.asarray, work)
+    if use_adaptive:
+        # The controller really adapted (non-uniform counts) and the
+        # count bookkeeping is consistent with the budget floor/cap:
+        counts = wb.sample_count
+        # Step 1 is the uniform cold start; later steps never go below
+        # the floor:
+        assert counts.min() >= spp // steps + 3 * min(cfg.adaptive_min,
+                                                      spp // steps)
+        assert counts.min() != counts.max(), "controller never adapted"
+    film = Film(width, height)
+    film.accumulate_soa(wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count)
+    return film.hdr_at_step(1)
+
+
 def rmse(a, b):
     scale = max(np.abs(a).max(), np.abs(b).max(), 1e-9)
     return float(np.sqrt(np.mean((a - b) ** 2)) / scale)
@@ -108,6 +156,11 @@ def main() -> int:
     # renders; the floor scales to the sample count identically):
     ok &= _check("texture-env-1104x1000", render_texture, 1104, 1000,
                  max(16, spp // 8))
+    # Adaptive vs uniform on hardware: "floor" = two independent uniform
+    # renders, "cross" = adaptive vs uniform - unbiasedness of the HW
+    # budget path (the CPU suite covers interpret mode only).  Uses a
+    # larger frame so the controller has blocks to differentiate:
+    ok &= _check("adaptive-vs-uniform", render_adaptive, 512, 512, spp)
     return 0 if ok else 1
 
 
