@@ -165,6 +165,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - parity number is informational
         print(f"canonical 6x320 parity rate skipped: {e}", file=sys.stderr)
 
+    # Context line (stderr): the throughput above is paths/sec; with
+    # --adaptive the same kernel converges to equal RMSE ~4x sooner
+    # (allocation win, measured separately - docs/ADAPTIVE.json):
+    try:
+        with open(os.path.join(REPO, "docs", "ADAPTIVE.json")) as f:
+            ad = json.load(f)
+        print(f"adaptive sampling (--adaptive): time-to-equal-RMSE speedup "
+              f"{ad['time_to_quality_speedup']}x at this config "
+              f"(docs/ADAPTIVE.json)", file=sys.stderr)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
