@@ -58,6 +58,8 @@ from .trace_pallas import (
     make_uniform_fn,
     pack_scene,
     raygen,
+    sobol_unit_kernel,
+    sobol_word_kernel,
 )
 
 
@@ -121,6 +123,7 @@ def _kernel(
     height: int,
     aa_noise_type: str,
     host_samples: int,  # 0 = hardware PRNG; >0 = host-noise parity mode
+    sobol_dims: int,  # >0: leading dims from the in-kernel Owen-Sobol path
     upcast_dot: bool,  # interpret mode: f32 dots (nif_pallas.nif_layer)
     split_point: int | None,  # early-out split bounce; None = default formula
     stub: str | None,  # None | 'nif' | 'trace' | 'both' (devtime split)
@@ -128,18 +131,22 @@ def _kernel(
     with_stats: bool,  # accumulate per-record lum^2 second moments
     # refs:
     fpar_ref,  # SMEM (1, 8) f32
-    ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed0 seed1 n_samples
+    ipar_ref,  # SMEM (1, 8) i32: roulette_depth seed0 seed1 n_samples sobol_key
     scal_ref,  # SMEM (1, 8) f32 NIF decode scalars + azimuth
     sph_ref,
     dsc_ref,
     cols_ref,  # VMEM (B,)
     rows_ref,
-    *refs,  # w*num_layers, b*num_layers, [budget], [noise], outputs
+    *refs,  # w*num_layers, b*num_layers, [budget], [pid/base], [noise], outputs
 ):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
     rest = list(refs[2 * num_layers :])
     bud_ref = rest.pop(0) if has_budgets else None
+    pid_ref = base_ref = None
+    if sobol_dims:
+        pid_ref = rest.pop(0)
+        base_ref = rest.pop(0)
     noise_ref = rest.pop(0) if host_samples else None
     if with_stats:
         acc_ref, plen_ref, l2_ref = rest
@@ -156,7 +163,9 @@ def _kernel(
     focal = fpar_ref[0, 6]
     roulette_depth = ipar_ref[0, 0]
 
-    if not host_samples:
+    # Dims past the sobol prefix still come from the hardware PRNG:
+    prng_tail = (4 + 4 * max_path_length - sobol_dims) if sobol_dims else 0
+    if not host_samples and (not sobol_dims or prng_tail > 0):
         pltpu.prng_seed(ipar_ref[0, 1], ipar_ref[0, 2] + pl.program_id(0))
     uniforms = make_uniform_fn(n)
     layer_fn = _stub_nif_layer if stub in ("nif", "both") else nif_layer
@@ -187,9 +196,23 @@ def _kernel(
         def noise_row(j):
             return noise_ref[sample_idx, j, :]
 
+        h = key_u = None
         if host_samples:
             a1, a2 = noise_row(0), noise_row(1)
             l1, l2 = noise_row(2), noise_row(3)
+        elif sobol_dims:
+            # Owen-Sobol prefix dims: per-lane index = worklist
+            # sampleCount + the in-step sample counter, so the sequence
+            # continues across steps and adaptive budgets.  No stream
+            # position - bounce dims are computed lazily inside the
+            # unroll, so the dead-block early-out skips their cost too.
+            key_u = ipar_ref[0, 4].astype(jnp.uint32)
+            idx = base_ref[:] + sample_idx
+            h = sobol_word_kernel(pid_ref[:], idx, key_u)
+            cam = [sobol_unit_kernel(h, key_u, d) for d in range(4)]
+            rnd_tail = uniforms(prng_tail) if prng_tail else []
+            a1, a2 = draw_aa_jitter(lambda k: cam[:k], aa_noise_type)
+            l1, l2 = cam[2], cam[3]
         else:
             # ONE stateful PRNG call for the whole sample: prng ops fence
             # instruction scheduling, and per-bounce draws would stop the
@@ -220,6 +243,12 @@ def _kernel(
         def bounce_rnd(b):
             if host_samples:
                 return [noise_row(4 + 4 * b + j) for j in range(4)]
+            if sobol_dims:
+                return [
+                    sobol_unit_kernel(h, key_u, dim) if dim < sobol_dims
+                    else rnd_tail[dim - sobol_dims]
+                    for dim in range(4 + 4 * b, 8 + 4 * b)
+                ]
             return rnd_all[4 + 4 * b : 8 + 4 * b]
 
         def run_bounces(s, lo, hi):
@@ -329,6 +358,7 @@ def _kernel(
     static_argnames=(
         "width", "height", "max_path_length", "aa_noise_type",
         "block_size", "interpret", "split_point", "stub", "with_stats",
+        "sobol_dims",
     ),
 )
 def render_megastep_pallas(
@@ -340,6 +370,8 @@ def render_megastep_pallas(
     seed: jnp.ndarray | None = None,  # (2,) int32 per-step seed words
     *,
     noise: jnp.ndarray | None = None,  # (S, 4+4L, P) host-noise parity mode
+    sobol: tuple | None = None,  # (pixel_id, base, key_bits) Owen-Sobol mode
+    sobol_dims: int = 0,
     budgets: jnp.ndarray | None = None,  # (G,) int32 per-block sample counts
     with_stats: bool = False,  # also return per-record lum^2 sums
     width: int,
@@ -366,9 +398,21 @@ def render_megastep_pallas(
     ``with_stats`` additionally accumulates, per record, the sum over
     its samples of luminance(radiance)^2 (returned as ``lum2``) - the
     second moment the adaptive controller's variance estimate needs.
+
+    With ``sobol=(pixel_id, base, key_bits)`` (int32 (P,) pixel ids,
+    int32 (P,) per-lane accumulated sample counts, int32 scalar
+    scramble-key bits) and ``sobol_dims > 0``, sample s of the step
+    draws its first sobol_dims dims from each lane's Owen-Sobol sequence
+    at index base + s (render/qmc.py) and the rest from the hardware
+    PRNG - --sampler sobol's production path.
     """
     if (seed is None) == (noise is None):
         raise ValueError("pass exactly one of seed= or noise=")
+    if (sobol is not None) != (sobol_dims > 0):
+        raise ValueError("sobol= and sobol_dims>0 go together")
+    if sobol is not None and noise is not None:
+        raise ValueError("sobol mode is hardware mode (host noise already "
+                         "carries sobol rows)")
     if block_size % 128:
         raise ValueError(f"block_size must be a multiple of 128, got {block_size}")
     p = cols.shape[0]
@@ -380,11 +424,18 @@ def render_megastep_pallas(
                            path_len=jnp.zeros((p,), jnp.int32),
                            lum2=z if with_stats else None)
     pad = (-p) % block_size
+    sob_pid = sob_base = None
+    if sobol is not None:
+        sob_pid = sobol[0].astype(jnp.int32)
+        sob_base = sobol[1].astype(jnp.int32)
     if pad:
         cols = jnp.pad(cols, (0, pad))
         rows = jnp.pad(rows, (0, pad))
         if noise is not None:
             noise = jnp.pad(noise, ((0, 0), (0, 0), (0, pad)))
+        if sobol is not None:
+            sob_pid = jnp.pad(sob_pid, (0, pad))
+            sob_base = jnp.pad(sob_base, (0, pad))
     n = p + pad
     grid = (n // block_size,)
     if budgets is not None and budgets.shape != (grid[0],):
@@ -414,14 +465,22 @@ def render_megastep_pallas(
     else:
         seed = jnp.asarray(seed).astype(jnp.int32).reshape(2)
         s0, s1 = seed[0], seed[1]
+    zero_i = jnp.zeros((), jnp.int32)
+    key_bits = (
+        jnp.asarray(sobol[2]).astype(jnp.int32) if sobol is not None else zero_i
+    )
     ipar = jnp.stack(
         [
             settings.roulette_depth.astype(jnp.int32),
             s0,
             s1,
             settings.samples_per_step.astype(jnp.int32),
+            key_bits,
+            zero_i,
+            zero_i,
+            zero_i,
         ]
-    ).reshape(1, 4)
+    ).reshape(1, 8)
     scal = _pack_scal(params, settings.azimuth)
 
     # Feature-major weights (transposed once; XLA folds it after call 1):
@@ -450,6 +509,9 @@ def render_megastep_pallas(
         bud2 = budgets.astype(jnp.int32).reshape(-1, 1)
         in_specs.append(smem(bud2))
         inputs.append(bud2)
+    if sobol is not None:
+        in_specs += [vec, vec]
+        inputs += [sob_pid, sob_base]
     if noise is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -472,7 +534,8 @@ def render_megastep_pallas(
         functools.partial(
             _kernel, num_s, num_d, max_path_length, num_layers,
             params.embedding_dim, width, height, aa_noise_type, host_samples,
-            interpret, split_point, stub, budgets is not None, with_stats,
+            sobol_dims, interpret, split_point, stub, budgets is not None,
+            with_stats,
         ),
         out_shape=tuple(out_shape),
         grid=grid,

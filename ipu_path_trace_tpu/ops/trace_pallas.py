@@ -227,6 +227,38 @@ def make_uniform_fn(n: int):
     return uniforms
 
 
+def _bitcast_vec(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """pltpu.bitcast for (B,) vectors (Mosaic rejects 1-D bitcasts)."""
+    return pltpu.bitcast(x.reshape(1, -1), dtype).reshape(x.shape)
+
+
+def sobol_word_kernel(pid: jnp.ndarray, idx: jnp.ndarray, key_u32):
+    """In-kernel scrambled-index word for the Owen-Sobol sampler.
+
+    Same math as render/qmc.py (single source of truth for the bit
+    mixing); only the int32<->uint32 moves use pltpu.bitcast because
+    Mosaic has no integer convert to/from uint32 vectors.  ``pid`` and
+    ``idx`` are int32 (B,) vectors; ``key_u32`` a uint32 scalar.
+    """
+    from ..render import qmc
+
+    pid_u = _bitcast_vec(pid, jnp.uint32)
+    idx_u = _bitcast_vec(idx, jnp.uint32)
+    return qmc.scrambled_index_word(idx_u, qmc.pixel_seed(pid_u, key_u32))
+
+
+def sobol_unit_kernel(h: jnp.ndarray, key_u32, dim: int) -> jnp.ndarray:
+    """One Owen-scrambled Sobol dimension as f32 in (0, 1] (in-kernel
+    form of qmc.owen_bits + qmc.bits_to_unit; bit-identical values)."""
+    from ..render import qmc
+
+    bits = qmc.reverse_bits32(
+        qmc.laine_karras(qmc.sobol_bits(h, dim), qmc.dim_seed(key_u32, dim))
+    )
+    top24 = _bitcast_vec(bits >> 8, jnp.int32)
+    return (top24.astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))
+
+
 def draw_aa_jitter(uniforms, aa_noise_type: str):
     """AA jitter pair from the HW PRNG: uniform, normal (Box-Muller) or
     truncated-normal clipped at +/-3 sigma."""
@@ -372,21 +404,25 @@ def _kernel(
     height: int,
     aa_noise_type: str,
     host_noise: bool,
+    sobol_dims: int,  # >0: leading dims from the in-kernel Owen-Sobol path
     # refs:
     fpar_ref,  # SMEM (1, 8) f32: tanfov_x tanfov_y aa_scale refr stop_prob aperture focal
-    ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed
+    ipar_ref,  # SMEM (1, 4) i32: roulette_depth seed0 seed1 sobol_key
     sph_ref,  # SMEM (1, num_s*12)
     dsc_ref,  # SMEM (1, num_d*15)
     cols_ref,  # VMEM (B,)
     rows_ref,  # VMEM (B,)
-    *refs,  # [noise_ref if host_noise] + 6 outputs
+    *refs,  # [pid/idx if sobol] + [noise_ref if host_noise] + outputs
 ):
+    i = 0
+    pid_ref = idx_ref = noise_ref = None
+    if sobol_dims:
+        pid_ref, idx_ref = refs[0], refs[1]
+        i = 2
     if host_noise:
-        noise_ref = refs[0]
-        outs = refs[1:]
-    else:
-        noise_ref = None
-        outs = refs
+        noise_ref = refs[i]
+        i += 1
+    outs = refs[i:]
     rad_ref, escd_ref, escw_ref, escm_ref, plen_ref = outs
 
     shape = cols_ref.shape
@@ -400,7 +436,9 @@ def _kernel(
     focal = fpar_ref[0, 6]
     roulette_depth = ipar_ref[0, 0]
 
-    if not host_noise:
+    # Dims past the sobol prefix still come from the hardware PRNG:
+    prng_tail = (4 + 4 * max_path_length - sobol_dims) if sobol_dims else 0
+    if not host_noise and (not sobol_dims or prng_tail > 0):
         # Two 32-bit seed words so distinct samples cannot birthday-collide
         # in a 32-bit space over long renders; the grid-block id folds into
         # the second word (Mosaic caps prng_seed at 2 values).
@@ -409,12 +447,23 @@ def _kernel(
     uniforms = make_uniform_fn(n)
 
     # --- camera ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
-    # All of the sample's randomness is drawn in ONE prng call up front
+    # All of the PRNG randomness is drawn in ONE call up front
     # (per-invocation overhead amortised, and the dead-block early-out
     # below must not move the stream position when it skips a bounce).
+    # Sobol dims have NO stream position (pure functions of the sample
+    # index), so bounce dims are computed lazily inside the unroll and
+    # skipped bounces skip their cost too.
+    h = key_u = None
     if host_noise:
         a1, a2 = noise_ref[0, :], noise_ref[1, :]
         l1, l2 = noise_ref[2, :], noise_ref[3, :]
+    elif sobol_dims:
+        key_u = ipar_ref[0, 3].astype(jnp.uint32)
+        h = sobol_word_kernel(pid_ref[:], idx_ref[:], key_u)
+        cam = [sobol_unit_kernel(h, key_u, d) for d in range(4)]
+        rnd_tail = uniforms(prng_tail) if prng_tail else []
+        a1, a2 = draw_aa_jitter(lambda k: cam[:k], aa_noise_type)
+        l1, l2 = cam[2], cam[3]
     else:
         rnd_all = uniforms(4 + 4 * max_path_length)
         a1, a2 = draw_aa_jitter(lambda k: rnd_all[:k], aa_noise_type)
@@ -430,6 +479,12 @@ def _kernel(
     def bounce_rnd(b):
         if host_noise:
             return [noise_ref[4 + 4 * b + j, :] for j in range(4)]
+        if sobol_dims:
+            return [
+                sobol_unit_kernel(h, key_u, dim) if dim < sobol_dims
+                else rnd_tail[dim - sobol_dims]
+                for dim in range(4 + 4 * b, 8 + 4 * b)
+            ]
         return rnd_all[4 + 4 * b : 8 + 4 * b]
 
     def run_bounces(s, lo, hi):
@@ -478,7 +533,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "max_path_length", "aa_noise_type",
-        "block_size", "interpret",
+        "block_size", "interpret", "sobol_dims",
     ),
 )
 def trace_sample_pallas(
@@ -489,6 +544,8 @@ def trace_sample_pallas(
     seed: jnp.ndarray | None = None,  # (2,) int32/uint32 per-sample seed words
     *,
     noise: jnp.ndarray | None = None,  # host-noise mode, see below
+    sobol: tuple | None = None,  # (pixel_id, idx, key_bits) Owen-Sobol mode
+    sobol_dims: int = 0,
     width: int,
     height: int,
     max_path_length: int,
@@ -505,19 +562,37 @@ def trace_sample_pallas(
     kernel in host-noise mode ([0:2] = AA jitter, [2:4] = lens-disk
     uniforms, [4+4i : 8+4i] = bounce-i uniforms) - the layout of
     render/wavefront.trace_sample_with_uniforms.
+
+    With ``sobol=(pixel_id, idx, key_bits)`` (int32 (P,) pixel ids,
+    int32 (P,) per-lane Sobol indices, int32 scalar scramble-key bits)
+    and ``sobol_dims > 0``, the first sobol_dims noise dims come from
+    the in-kernel Owen-Sobol sampler (render/qmc.py math) and the rest
+    from the hardware PRNG seeded by ``seed``.
     """
     if (seed is None) == (noise is None):
         raise ValueError("pass exactly one of seed= or noise=")
+    if (sobol is not None) != (sobol_dims > 0):
+        raise ValueError("sobol= and sobol_dims>0 go together")
+    if sobol is not None and noise is not None:
+        raise ValueError("sobol mode is hardware mode (host noise already "
+                         "carries sobol rows)")
     if block_size % 128:
         raise ValueError(f"block_size must be a multiple of 128, got {block_size}")
     p = cols.shape[0]
     host_noise = noise is not None
     pad = (-p) % block_size
+    sob_pid = sob_idx = None
+    if sobol is not None:
+        sob_pid = sobol[0].astype(jnp.int32)
+        sob_idx = sobol[1].astype(jnp.int32)
     if pad:
         cols = jnp.pad(cols, (0, pad))
         rows = jnp.pad(rows, (0, pad))
         if host_noise:
             noise = jnp.pad(noise, ((0, 0), (0, pad)))
+        if sobol is not None:
+            sob_pid = jnp.pad(sob_pid, (0, pad))
+            sob_idx = jnp.pad(sob_idx, (0, pad))
     n = p + pad
     grid = (n // block_size,)
 
@@ -543,12 +618,16 @@ def trace_sample_pallas(
     else:
         seed = jnp.asarray(seed).astype(jnp.int32).reshape(2)
         s0, s1 = seed[0], seed[1]
+    key_bits = (
+        jnp.asarray(sobol[2]).astype(jnp.int32)
+        if sobol is not None else jnp.zeros((), jnp.int32)
+    )
     ipar = jnp.stack(
         [
             settings.roulette_depth.astype(jnp.int32),
             s0,
             s1,
-            jnp.zeros((), jnp.int32),
+            key_bits,
         ]
     ).reshape(1, 4)
 
@@ -562,6 +641,9 @@ def trace_sample_pallas(
 
     in_specs = [smem(fpar), smem(ipar), smem(sph), smem(dsc), vec, vec]
     inputs = [fpar, ipar, sph, dsc, cols, rows]
+    if sobol is not None:
+        in_specs += [vec, vec]
+        inputs += [sob_pid, sob_idx]
     if host_noise:
         in_specs.append(
             pl.BlockSpec(
@@ -574,7 +656,7 @@ def trace_sample_pallas(
     rad, escd, escw, escm, plen = pl.pallas_call(
         functools.partial(
             _kernel, num_s, num_d, max_path_length, width, height,
-            aa_noise_type, host_noise,
+            aa_noise_type, host_noise, sobol_dims,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, n), jnp.float32),

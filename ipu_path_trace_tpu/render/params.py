@@ -46,6 +46,18 @@ class StaticConfig(NamedTuple):
     # [adaptive_min, adaptive_max_factor * samples_per_step]:
     adaptive_min: int = 8
     adaptive_max_factor: float = 16.0
+    # Sample-stream generator: "prng" = independent counter-based
+    # uniforms (threefry on host, hardware PRNG in the kernels - the
+    # analog of the reference's poprand pools, PathTracerApp.cpp:266-299);
+    # "sobol" = hash-based Owen-scrambled Sobol (render/qmc.py) on the
+    # first ``sobol_dims`` path dimensions with prng padding beyond.
+    sampler: str = "prng"
+    # How many leading path dimensions ride the Sobol sequence in sobol
+    # mode: a multiple of 4 covering the camera dims (AA x2, lens x2)
+    # plus whole bounces (4 each).  12 = camera + bounces 0-1, where
+    # nearly all of the integrand's variance lives at the default scene
+    # (94% of paths escape by bounce 2).  Clipped to 4 + 4*max_path_length.
+    sobol_dims: int = 12
 
 
 class RenderSettings(NamedTuple):
@@ -68,6 +80,11 @@ class RenderSettings(NamedTuple):
     # reference's pinhole camera).  Runtime-tunable like the rest:
     aperture: jnp.ndarray  # lens radius in scene units
     focal_distance: jnp.ndarray  # focus-plane distance along -z
+    # Render-wide Owen-scramble key for --sampler sobol (render/qmc.py).
+    # Derived from the CLI seed; MUST stay constant across steps so each
+    # pixel walks one continuous scrambled-Sobol sequence.  Unused (but
+    # still carried - settings are a fixed pytree) in prng mode.
+    sobol_key: jnp.ndarray = 0  # uint32 scalar (int 0 default, weak-typed)
 
     @staticmethod
     def make(
@@ -80,6 +97,7 @@ class RenderSettings(NamedTuple):
         samples_per_step: int = 512,
         aperture: float = 0.0,
         focal_distance: float = 1.0,
+        seed: int = 1,
     ) -> "RenderSettings":
         import numpy as np
 
@@ -93,4 +111,5 @@ class RenderSettings(NamedTuple):
             samples_per_step=jnp.int32(samples_per_step),
             aperture=jnp.float32(aperture),
             focal_distance=jnp.float32(focal_distance),
+            sobol_key=np.uint32(seed & 0xFFFFFFFF),
         )

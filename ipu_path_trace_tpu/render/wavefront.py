@@ -57,6 +57,39 @@ LENS_TAG = 0x1E5
 BOUNCE_TAG = 0xB0
 
 
+class QmcCtx(NamedTuple):
+    """Per-lane context for the Owen-Sobol sampler (render/qmc.py).
+
+    ``base`` is each lane's accumulated sample count (the worklist's own
+    sampleCount field), so sample s of this step draws Sobol point
+    base + s of the lane's scrambled sequence - continuous across
+    progressive steps, restarts, checkpoints and per-block adaptive
+    budgets.  ``key`` is the render-wide scramble key
+    (settings.sobol_key).
+    """
+
+    pixel_id: jnp.ndarray  # (P,) int32 v * width + u
+    base: jnp.ndarray  # (P,) int32 accumulated per-lane sample counts
+    key: jnp.ndarray  # uint32 scalar
+
+
+def make_qmc_ctx(work: WorkBatch, cfg, settings) -> QmcCtx | None:
+    if cfg.sampler != "sobol":
+        return None
+    pixel_id = work.v.astype(jnp.int32) * cfg.width + work.u.astype(jnp.int32)
+    return QmcCtx(pixel_id=pixel_id, base=work.sample_count.astype(jnp.int32),
+                  key=settings.sobol_key)
+
+
+def sobol_dims_used(cfg) -> int:
+    """Leading noise-layout rows carried by the Sobol sequence: a whole
+    number of bounces after the 4 camera dims, capped by the layout."""
+    if cfg.sampler != "sobol":
+        return 0
+    d = max(4, (cfg.sobol_dims // 4) * 4)
+    return min(d, 4 + 4 * cfg.max_path_length)
+
+
 def apply_thin_lens(d: Vec3, settings, l1, l2) -> tuple[Vec3, Vec3]:
     """Thin-lens camera: jitter the origin on a disk, refocus through the
     focus plane at ``focal_distance`` along -z.  Aperture 0 degenerates
@@ -214,28 +247,62 @@ def bounce_body(
     )
 
 
-def sample_noise(skey: jax.Array, n: int, cfg: StaticConfig) -> jnp.ndarray:
+def sample_noise(
+    skey: jax.Array,
+    n: int,
+    cfg: StaticConfig,
+    qmc_ctx: QmcCtx | None = None,
+    sample_idx=None,
+) -> jnp.ndarray:
     """(4 + 4L, n) noise for one sample in the Pallas kernels' host-noise
     layout: [0:2] AA jitter (already distributed), [2:4] lens uniforms,
     [4+4b:8+4b] bounce-b uniforms.
 
-    Drawn with the exact fold_in schedule of trace_one_sample's XLA
-    branch, so host-noise kernel runs replay the same streams.
+    prng mode draws with the exact fold_in schedule of
+    trace_one_sample's XLA branch, so host-noise kernel runs replay the
+    same streams.  sobol mode (qmc_ctx given; sample_idx = the sample's
+    index within the step) fills the first sobol_dims_used(cfg) rows
+    from each lane's Owen-Sobol sequence at index base + sample_idx
+    (render/qmc.py) and pads the rest with the prng schedule - the
+    identical integer math the kernels run in-kernel, so hardware-mode
+    sobol renders replay these rows bitwise.
     """
-    aa = aa_noise(jax.random.fold_in(skey, AA_TAG), (2, n), cfg.aa_noise_type)
-    lens = jax.random.uniform(jax.random.fold_in(skey, LENS_TAG), (2, n))
-    bounce = [bounce_uniforms(skey, b, n) for b in range(cfg.max_path_length)]
-    return jnp.concatenate([aa, lens, *bounce], axis=0)
+    qd = sobol_dims_used(cfg) if qmc_ctx is not None else 0
+    if qd == 0:
+        aa = aa_noise(jax.random.fold_in(skey, AA_TAG), (2, n), cfg.aa_noise_type)
+        lens = jax.random.uniform(jax.random.fold_in(skey, LENS_TAG), (2, n))
+        bounce = [bounce_uniforms(skey, b, n) for b in range(cfg.max_path_length)]
+        return jnp.concatenate([aa, lens, *bounce], axis=0)
+
+    from ..ops.trace_pallas import draw_aa_jitter
+    from .qmc import sobol_uniforms
+
+    idx = qmc_ctx.base + jnp.int32(0 if sample_idx is None else sample_idx)
+    us = sobol_uniforms(idx, qmc_ctx.pixel_id, qmc_ctx.key, range(qd))
+    # AA rows carry the TRANSFORMED jitter; the Box-Muller / clip / 2u-1
+    # transform is the kernels' own (trace_pallas.draw_aa_jitter), so the
+    # in-kernel sobol path computes the identical values:
+    a1, a2 = draw_aa_jitter(lambda k: us[:k], cfg.aa_noise_type)
+    sobol_rows = jnp.stack([a1, a2, us[2], us[3], *us[4:qd]])  # (qd, n)
+    prng_tail = [
+        bounce_uniforms(skey, b, n)  # (4, n) each
+        for b in range((qd - 4) // 4, cfg.max_path_length)
+    ]
+    return jnp.concatenate([sobol_rows, *prng_tail], axis=0)
 
 
 def step_noise(
-    step_key: jax.Array, n: int, cfg: StaticConfig, samples: int | None = None
+    step_key: jax.Array,
+    n: int,
+    cfg: StaticConfig,
+    samples: int | None = None,
+    qmc_ctx: QmcCtx | None = None,
 ) -> jnp.ndarray:
     """(S, 4 + 4L, n) host noise for S = ``samples`` (default
     cfg.pallas_interpret) samples."""
     return jnp.stack(
         [
-            sample_noise(sample_key(step_key, s), n, cfg)
+            sample_noise(sample_key(step_key, s), n, cfg, qmc_ctx, s)
             for s in range(cfg.pallas_interpret if samples is None else samples)
         ]
     )
@@ -245,6 +312,16 @@ def step_noise(
 # padding waste in host-noise mode (per-block PRNG seeding is off), and
 # the tests' mesh shards are tiny.
 _INTERPRET_BLOCK = 256
+
+
+def _kernel_sobol(cfg, ctx: QmcCtx, sample_idx):
+    """(pixel_id, idx, key_bits) operands for the kernels' in-kernel
+    sobol mode; key rides SMEM as its int32 bit pattern."""
+    idx = ctx.base + jnp.int32(0 if sample_idx is None else sample_idx)
+    key_bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(ctx.key, jnp.uint32), jnp.int32
+    )
+    return ctx.pixel_id, idx, key_bits
 
 
 def trace_sample_with_uniforms(
@@ -281,10 +358,13 @@ def trace_one_sample(
     rows: jnp.ndarray,  # (P,) float32 pixel rows (worklist v)
     skey: jax.Array,
     env,
+    qmc_ctx: QmcCtx | None = None,  # sobol-mode per-lane context
+    sample_idx=None,  # sobol mode: the sample's index within the step
 ) -> tuple[Vec3, jnp.ndarray]:
     """Trace one sample per worklist entry; returns (radiance, path_len)."""
     n = cols.shape[0]
 
+    sobol = cfg.sampler == "sobol" and qmc_ctx is not None
     host_noise = cfg.pallas_interpret > 0
     interp = host_noise and jax.default_backend() != "tpu"
     pallas_on = cfg.use_pallas and (jax.default_backend() == "tpu" or interp)
@@ -299,7 +379,7 @@ def trace_one_sample(
         if host_noise:
             state = trace_sample_pallas(
                 scene, settings, cols, rows,
-                noise=sample_noise(skey, n, cfg),
+                noise=sample_noise(skey, n, cfg, qmc_ctx, sample_idx),
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
@@ -310,10 +390,23 @@ def trace_one_sample(
             seed = jax.random.bits(skey, (2,), jnp.uint32).astype(jnp.int32)
             state = trace_sample_pallas(
                 scene, settings, cols, rows, seed,
+                sobol=_kernel_sobol(cfg, qmc_ctx, sample_idx) if sobol else None,
+                sobol_dims=sobol_dims_used(cfg) if sobol else 0,
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
             )
+    elif sobol:
+        # Owen-Sobol streams are pre-assembled in the host-noise layout
+        # and consumed by the injected-uniforms driver - one code path
+        # for the XLA branch, the kernels' host-noise mode and the
+        # oracle's stream replay.
+        noise = sample_noise(skey, n, cfg, qmc_ctx, sample_idx)
+        state = trace_sample_with_uniforms(
+            scene, settings, cfg, cols, rows,
+            noise[0:2], noise[2:4],
+            noise[4:].reshape(cfg.max_path_length, 4, n),
+        )
     else:
         # --- ray generation (GenerateCameraRays, codelets.cpp:47-79) ---
         kaa = jax.random.fold_in(skey, AA_TAG)
@@ -381,6 +474,7 @@ def render_step_impl(
     """
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
+    qmc_ctx = make_qmc_ctx(work, cfg, settings)
 
     from ..models.envlight import NifEnv
 
@@ -404,7 +498,7 @@ def render_step_impl(
             kw = {"block_size": _INTERPRET_BLOCK} if interp else {}
             out = render_megastep_pallas(
                 scene, settings, env.params, cols, rows,
-                noise=step_noise(step_key, cols.shape[0], cfg),
+                noise=step_noise(step_key, cols.shape[0], cfg, qmc_ctx=qmc_ctx),
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
@@ -417,6 +511,11 @@ def render_step_impl(
             seed = jax.random.bits(step_key, (2,), jnp.uint32).astype(jnp.int32)
             out = render_megastep_pallas(
                 scene, settings, env.params, cols, rows, seed,
+                sobol=(
+                    _kernel_sobol(cfg, qmc_ctx, None)
+                    if qmc_ctx is not None else None
+                ),
+                sobol_dims=sobol_dims_used(cfg),
                 width=cfg.width, height=cfg.height,
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
@@ -436,7 +535,9 @@ def render_step_impl(
     def body(sample_idx, carry):
         rad, plen = carry
         skey = sample_key(step_key, sample_idx)
-        r, p = trace_one_sample(scene, settings, cfg, cols, rows, skey, env)
+        r, p = trace_one_sample(
+            scene, settings, cfg, cols, rows, skey, env, qmc_ctx, sample_idx
+        )
         return (rad + r, plen + p)
 
     init = (Vec3.zeros(cols.shape), jnp.zeros(cols.shape, jnp.int32))
