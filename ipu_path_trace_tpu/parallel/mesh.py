@@ -78,10 +78,15 @@ def sharded_render_step_impl(
         )
 
     def local_step(scene_r, settings_r, env_r, work_local: WorkBatch, key: jax.Array) -> WorkBatch:
-        # Decorrelate RNG across the mesh:
+        # Decorrelate RNG across the mesh (sobol mode additionally
+        # offsets sequence indices by the samples-axis position so the
+        # replicas draw disjoint slices - render_step_impl docstring):
         key = jax.random.fold_in(key, jax.lax.axis_index("pixels"))
         key = jax.random.fold_in(key, jax.lax.axis_index("samples"))
-        out = render_step_impl(scene_r, settings_r, cfg, work_local, key, env_r)
+        out = render_step_impl(
+            scene_r, settings_r, cfg, work_local, key, env_r,
+            sample_axis_index=jax.lax.axis_index("samples"),
+        )
         # Film reduction over the sample axis (psum over ICI): radiance
         # sums, sample counts and path lengths all add.
         reduce = lambda x: jax.lax.psum(x, "samples")
@@ -150,7 +155,8 @@ def sharded_adaptive_render_step_impl(
         key = jax.random.fold_in(key, jax.lax.axis_index("pixels"))
         key = jax.random.fold_in(key, jax.lax.axis_index("samples"))
         out, l2 = adaptive_render_step_impl(
-            scene_r, settings_r, cfg, work_local, lum2_local, key, env_r
+            scene_r, settings_r, cfg, work_local, lum2_local, key, env_r,
+            sample_axis_index=jax.lax.axis_index("samples"),
         )
         reduce = lambda x: jax.lax.psum(x, "samples")
         return (

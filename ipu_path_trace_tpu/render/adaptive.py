@@ -138,6 +138,7 @@ def adaptive_render_step_impl(
     lum2: jnp.ndarray,  # (P,) f32 accumulated second moments
     step_key: jax.Array,
     env,
+    sample_axis_index=0,  # "samples"-axis replica id (sobol index offset)
 ) -> tuple[WorkBatch, jnp.ndarray]:
     """One adaptive render step; returns (work', lum2').
 
@@ -150,7 +151,7 @@ def adaptive_render_step_impl(
     """
     from ..models.envlight import NifEnv
     from ..ops.megastep_pallas import render_megastep_pallas
-    from .wavefront import step_noise
+    from .wavefront import _kernel_sobol, make_qmc_ctx, sobol_dims_used, step_noise
 
     if not isinstance(env, NifEnv):
         raise ValueError("adaptive sampling requires the NIF environment "
@@ -167,6 +168,21 @@ def adaptive_render_step_impl(
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
     p = cols.shape[0]
+    # Owen-Sobol composes for free: per-lane indices are the worklist's
+    # own sample counts, so a block whose budget was smaller simply
+    # resumes its lanes' sequences further behind (render/qmc.py):
+    qmc_ctx = make_qmc_ctx(work, cfg, settings)
+
+    def offset_ctx(ctx, budgets):
+        # Sample-axis replicas draw DISJOINT slices of each lane's
+        # sobol sequence: replicas hold identical moments, so budgets
+        # (and hence slices) agree across the axis
+        # (render/wavefront.render_step_impl's uniform analog).
+        if ctx is None:
+            return None
+        inc = jnp.repeat(budgets, block)[:p].astype(jnp.int32)
+        return ctx._replace(
+            base=ctx.base + jnp.int32(sample_axis_index) * inc)
 
     if host_noise:
         # Host-noise parity mode: the noise array must cover the budget
@@ -178,9 +194,10 @@ def adaptive_render_step_impl(
             block_size=block, samples_per_step=spp,
             min_spp=min(cfg.adaptive_min, spp), max_spp=cap,
         )
+        qmc_ctx = offset_ctx(qmc_ctx, budgets)
         out = render_megastep_pallas(
             scene, settings, env.params, cols, rows,
-            noise=step_noise(step_key, p, cfg, samples=cap),
+            noise=step_noise(step_key, p, cfg, samples=cap, qmc_ctx=qmc_ctx),
             budgets=budgets, with_stats=True,
             width=cfg.width, height=cfg.height,
             max_path_length=cfg.max_path_length,
@@ -202,8 +219,14 @@ def adaptive_render_step_impl(
             max_spp=cap,
         )
         seed = jax.random.bits(step_key, (2,), jnp.uint32).astype(jnp.int32)
+        qmc_ctx = offset_ctx(qmc_ctx, budgets)
         out = render_megastep_pallas(
             scene, settings, env.params, cols, rows, seed,
+            sobol=(
+                _kernel_sobol(cfg, qmc_ctx, None)
+                if qmc_ctx is not None else None
+            ),
+            sobol_dims=sobol_dims_used(cfg),
             budgets=budgets, with_stats=True,
             width=cfg.width, height=cfg.height,
             max_path_length=cfg.max_path_length,

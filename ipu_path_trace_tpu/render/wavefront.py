@@ -463,6 +463,7 @@ def render_step_impl(
     work: WorkBatch,
     step_key: jax.Array,
     env,
+    sample_axis_index=0,
 ) -> WorkBatch:
     """Run cfg.samples_per_step samples and accumulate into the worklist.
 
@@ -471,10 +472,20 @@ def render_step_impl(
     (PathTracerApp.cpp:466-468).  Accumulation matches
     AccumulateContributions (codelets.cpp:294-300): rgb sums, sampleCount
     increments, pathLength sums.
+
+    ``sample_axis_index`` (traced scalar) is this replica's position on
+    a "samples" mesh axis: sobol mode offsets each lane's sequence index
+    by index * samples_per_step so replicas draw DISJOINT slices of the
+    per-pixel sequence (the worklist's psum'd sampleCount is the global
+    count, so the slices line up across steps).  prng mode decorrelates
+    via the step key instead (parallel/mesh.local_step) and ignores it.
     """
     cols = work.u.astype(jnp.float32)
     rows = work.v.astype(jnp.float32)
     qmc_ctx = make_qmc_ctx(work, cfg, settings)
+    if qmc_ctx is not None:
+        off = jnp.int32(sample_axis_index) * settings.samples_per_step.astype(jnp.int32)
+        qmc_ctx = qmc_ctx._replace(base=qmc_ctx.base + off)
 
     from ..models.envlight import NifEnv
 

@@ -201,6 +201,8 @@ class PathTracerApp:
             pallas_interpret=self.cfg.pallas_interpret,
             adaptive_min=self.cfg.adaptive_min,
             adaptive_max_factor=self.cfg.adaptive_max_factor,
+            sampler=self.cfg.sampler,
+            sobol_dims=self.cfg.sobol_dims,
         )
 
     def local_samples(self, samples_per_step: int) -> int:
@@ -227,6 +229,7 @@ class PathTracerApp:
             samples_per_step=self.local_samples(samples_per_step),
             aperture=cfg.aperture,
             focal_distance=cfg.focal_distance,
+            seed=cfg.seed,  # -> sobol_key (render-wide Owen-scramble key)
         )
 
     def build(self) -> None:

@@ -53,6 +53,7 @@ _FINGERPRINT_FIELDS = (
     "partials_type", "use_pallas", "nif_mode", "device_film",
     "ipus", "mesh_shape", "enable_load_balancing", "layout",
     "adaptive", "adaptive_min", "adaptive_max_factor",
+    "sampler", "sobol_dims",
 )
 
 # Fields added after checkpoints already existed in the wild: a saved
@@ -67,7 +68,11 @@ _FIELD_DEFAULTS = {"enable_load_balancing": False,
                    # Inert without adaptive; normalised to None by
                    # render_fingerprint for non-adaptive runs:
                    "adaptive_min": None,
-                   "adaptive_max_factor": None}
+                   "adaptive_max_factor": None,
+                   # Pre---sampler checkpoints were prng renders; the dim
+                   # knob is inert there (normalised like adaptive's):
+                   "sampler": "prng",
+                   "sobol_dims": None}
 
 _FORMAT = 1
 
@@ -87,6 +92,8 @@ def render_fingerprint(cfg, overrides: dict | None = None) -> dict:
         # The budget knobs are inert without --adaptive: normalise them
         # so uniform renders resume across knob-DEFAULT changes.
         fp["adaptive_min"] = fp["adaptive_max_factor"] = None
+    if fp["sampler"] == "prng":
+        fp["sobol_dims"] = None  # inert without --sampler sobol
     return fp
 
 

@@ -164,6 +164,17 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                      help="Counter-based PRNG: auto = hardware rbg on TPU, "
                           "threefry2x32 (cross-backend reproducible) elsewhere.")
+    tpu.add_argument("--sampler", default="prng", choices=["prng", "sobol"],
+                     help="Sample-stream generator: prng = independent "
+                          "uniforms (reference behaviour); sobol = hash-based "
+                          "Owen-scrambled Sobol on the leading path "
+                          "dimensions - the same unbiased estimator with "
+                          "faster RMSE convergence per sample.")
+    tpu.add_argument("--sobol-dims", type=int, default=12,
+                     help="With --sampler sobol: how many leading path "
+                          "dimensions ride the Sobol sequence (camera 4 + 4 "
+                          "per bounce; rounded down to whole bounces, prng "
+                          "beyond).")
     return p
 
 
@@ -221,6 +232,8 @@ def parse_config(argv=None) -> Config:
         adaptive=args.adaptive,
         adaptive_min=args.adaptive_min,
         adaptive_max_factor=args.adaptive_max_factor,
+        sampler=args.sampler,
+        sobol_dims=args.sobol_dims,
     )
     cfg.validate()
     return cfg

@@ -113,6 +113,15 @@ class Config:
     adaptive: bool = False
     adaptive_min: int = 8  # per-block budget floor (samples/step)
     adaptive_max_factor: float = 16.0  # budget cap = factor * samples-per-step
+    # Sample-stream generator (render/qmc.py): "prng" = independent
+    # counter-based uniforms (the reference's poprand-pool analog);
+    # "sobol" = hash-based Owen-scrambled Sobol on the first
+    # --sobol-dims path dimensions (prng beyond) - same unbiased
+    # estimator, faster RMSE convergence.  Per-lane sequence indices
+    # ride the worklist sampleCount, so sobol composes with
+    # progressive steps, checkpoints, meshes and --adaptive.
+    sampler: str = "prng"  # prng | sobol
+    sobol_dims: int = 12  # camera (4) + whole bounces (4 each)
     # (knee of the measured efficiency curve: 2x->2.0x, 4x->3.2x, 16x->5.0x,
     #  32x->6.1x, 64x->6.5x sample efficiency; docs/ADAPTIVE.json knob_sweep)
     # Deterministic-replay / test knob (no CLI flag): > 0 runs the
@@ -153,6 +162,11 @@ class Config:
         if self.layout not in ("coherent", "raster"):
             raise ValueError(f"unknown --layout '{self.layout}' "
                              "(choices: coherent, raster)")
+        if self.sampler not in ("prng", "sobol"):
+            raise ValueError(f"unknown --sampler '{self.sampler}' "
+                             "(choices: prng, sobol)")
+        if self.sampler == "sobol" and self.sobol_dims < 4:
+            raise ValueError("--sobol-dims must be >= 4 (the camera dims)")
         if self.adaptive:
             if not self.device_film:
                 raise ValueError(

@@ -248,6 +248,50 @@ def test_sobol_mean_matches_prng_ground_truth():
     assert rmse_s < rmse_p, (rmse_s, rmse_p)
 
 
+def test_cli_sobol_end_to_end(tmp_path):
+    """--sampler sobol through the real CLI on the CPU backend:
+    deterministic (two runs bitwise-equal) and a genuinely different
+    estimator stream from prng."""
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.runtime.cli import main
+
+    common = ["--assets", "constant:0.9,0.8,0.7", "-w", "16", "-H", "16",
+              "-s", "4", "--samples-per-step", "2", "--model"]
+    assert main(common + ["--sampler", "sobol",
+                          "-o", str(tmp_path / "s1.png")]) == 0
+    assert main(common + ["--sampler", "sobol",
+                          "-o", str(tmp_path / "s2.png")]) == 0
+    assert main(common + ["-o", str(tmp_path / "p.png")]) == 0
+    s1 = read_exr(str(tmp_path / "s1.exr"))
+    np.testing.assert_array_equal(s1, read_exr(str(tmp_path / "s2.exr")))
+    assert not np.array_equal(s1, read_exr(str(tmp_path / "p.exr")))
+
+
+def test_sobol_checkpoint_resume_bitwise(tmp_path):
+    """Checkpoint/resume under --sampler sobol stays bitwise-exact (the
+    per-lane sequence index rides the worklist sampleCount), and a
+    resume under a DIFFERENT sampler is rejected by the fingerprint."""
+    import pytest
+
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.runtime.cli import main
+
+    common = ["--assets", "constant:0.9,0.8,0.7", "-w", "16", "-H", "16",
+              "--samples-per-step", "2", "--model", "--sampler", "sobol"]
+    ck = str(tmp_path / "state.npz")
+    assert main(common + ["-s", "8", "-o", str(tmp_path / "full.png")]) == 0
+    assert main(common + ["-s", "4", "--checkpoint", ck,
+                          "-o", str(tmp_path / "half.png")]) == 0
+    assert main(common + ["-s", "8", "--resume", ck,
+                          "-o", str(tmp_path / "res.png")]) == 0
+    np.testing.assert_array_equal(
+        read_exr(str(tmp_path / "res.exr")), read_exr(str(tmp_path / "full.exr")))
+    rc = main(["--assets", "constant:0.9,0.8,0.7", "-w", "16", "-H", "16",
+               "--samples-per-step", "2", "--model", "-s", "8",
+               "--resume", ck, "-o", str(tmp_path / "bad.png")])
+    assert rc != 0  # prng resume of a sobol checkpoint must fail
+
+
 def test_sobol_dims_used_clamps():
     cfg = StaticConfig(sampler="sobol", sobol_dims=999, max_path_length=3)
     assert sobol_dims_used(cfg) == 16
