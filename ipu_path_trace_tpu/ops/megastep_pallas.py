@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.scene import Scene
+from ..render import qmc
 from ..core.vecmath import Vec3
 from ..models.nif import NifParams
 from .nif_pallas import _pack_scal, equirect_from_dir, nif_decode, nif_encode, nif_layer
@@ -196,7 +197,7 @@ def _kernel(
         def noise_row(j):
             return noise_ref[sample_idx, j, :]
 
-        h = key_u = None
+        h = key_u = h_masks = None
         if host_samples:
             a1, a2 = noise_row(0), noise_row(1)
             l1, l2 = noise_row(2), noise_row(3)
@@ -209,7 +210,8 @@ def _kernel(
             key_u = ipar_ref[0, 4].astype(jnp.uint32)
             idx = base_ref[:] + sample_idx
             h = sobol_word_kernel(pid_ref[:], idx, key_u)
-            cam = [sobol_unit_kernel(h, key_u, d) for d in range(4)]
+            h_masks = qmc.sobol_masks(h)
+            cam = [sobol_unit_kernel(h, key_u, d, h_masks) for d in range(4)]
             rnd_tail = uniforms(prng_tail) if prng_tail else []
             a1, a2 = draw_aa_jitter(lambda k: cam[:k], aa_noise_type)
             l1, l2 = cam[2], cam[3]
@@ -245,7 +247,8 @@ def _kernel(
                 return [noise_row(4 + 4 * b + j) for j in range(4)]
             if sobol_dims:
                 return [
-                    sobol_unit_kernel(h, key_u, dim) if dim < sobol_dims
+                    sobol_unit_kernel(h, key_u, dim, h_masks)
+                    if dim < sobol_dims
                     else rnd_tail[dim - sobol_dims]
                     for dim in range(4 + 4 * b, 8 + 4 * b)
                 ]

@@ -54,6 +54,7 @@ from ..core.materials import (
     sample_diffuse,
 )
 from ..core.scene import Scene
+from ..render import qmc
 from ..core.vecmath import Vec3
 
 _INF = np.float32(np.inf)  # plain numpy: jnp constants may not be closure-captured by kernels
@@ -247,13 +248,21 @@ def sobol_word_kernel(pid: jnp.ndarray, idx: jnp.ndarray, key_u32):
     return qmc.scrambled_index_word(idx_u, qmc.pixel_seed(pid_u, key_u32))
 
 
-def sobol_unit_kernel(h: jnp.ndarray, key_u32, dim: int) -> jnp.ndarray:
+def sobol_unit_kernel(h: jnp.ndarray, key_u32, dim: int,
+                      masks: tuple | None = None) -> jnp.ndarray:
     """One Owen-scrambled Sobol dimension as f32 in (0, 1] (in-kernel
-    form of qmc.owen_bits + qmc.bits_to_unit; bit-identical values)."""
+    form of qmc.owen_bits + qmc.bits_to_unit; bit-identical values).
+
+    Pass ``masks=qmc.sobol_masks(h)`` when drawing several dims from
+    the same sample so the 32 per-bit masks are computed once (the
+    dominant in-kernel QMC cost; see render/qmc.py)."""
     from ..render import qmc
 
+    if masks is None:
+        masks = qmc.sobol_masks(h)
     bits = qmc.reverse_bits32(
-        qmc.laine_karras(qmc.sobol_bits(h, dim), qmc.dim_seed(key_u32, dim))
+        qmc.laine_karras(qmc.sobol_bits_shared(h, masks, dim),
+                         qmc.dim_seed(key_u32, dim))
     )
     top24 = _bitcast_vec(bits >> 8, jnp.int32)
     return (top24.astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))
@@ -453,14 +462,15 @@ def _kernel(
     # Sobol dims have NO stream position (pure functions of the sample
     # index), so bounce dims are computed lazily inside the unroll and
     # skipped bounces skip their cost too.
-    h = key_u = None
+    h = key_u = h_masks = None
     if host_noise:
         a1, a2 = noise_ref[0, :], noise_ref[1, :]
         l1, l2 = noise_ref[2, :], noise_ref[3, :]
     elif sobol_dims:
         key_u = ipar_ref[0, 3].astype(jnp.uint32)
         h = sobol_word_kernel(pid_ref[:], idx_ref[:], key_u)
-        cam = [sobol_unit_kernel(h, key_u, d) for d in range(4)]
+        h_masks = qmc.sobol_masks(h)
+        cam = [sobol_unit_kernel(h, key_u, d, h_masks) for d in range(4)]
         rnd_tail = uniforms(prng_tail) if prng_tail else []
         a1, a2 = draw_aa_jitter(lambda k: cam[:k], aa_noise_type)
         l1, l2 = cam[2], cam[3]
@@ -481,7 +491,7 @@ def _kernel(
             return [noise_ref[4 + 4 * b + j, :] for j in range(4)]
         if sobol_dims:
             return [
-                sobol_unit_kernel(h, key_u, dim) if dim < sobol_dims
+                sobol_unit_kernel(h, key_u, dim, h_masks) if dim < sobol_dims
                 else rnd_tail[dim - sobol_dims]
                 for dim in range(4 + 4 * b, 8 + 4 * b)
             ]

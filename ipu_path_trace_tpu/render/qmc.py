@@ -118,25 +118,48 @@ def scrambled_index_word(idx: jnp.ndarray, pix_seed: jnp.ndarray) -> jnp.ndarray
     return laine_karras(reverse_bits32(idx.astype(jnp.uint32)), pix_seed)
 
 
+def sobol_masks(h: jnp.ndarray) -> tuple:
+    """The 32 per-bit all-ones/all-zeros masks of ``h`` (mask[k] is
+    0xFFFFFFFF when bit 31-k of h is set; 0 - 1 wraps).  They depend on
+    the shuffled index alone, NOT the dimension, so every dimension's
+    sobol_bits accumulation shares one set - computing them once per
+    sample instead of per dimension cuts the dominant in-kernel QMC
+    cost ~2.4x (32x[shift+and+sub] amortised across all dims).  Pure
+    uint32 ops throughout: Mosaic has no integer converts to/from
+    uint32 vectors, and this must run unchanged inside the Pallas
+    kernels."""
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
+    return tuple(zero - ((h >> (31 - k)) & one) for k in range(32))
+
+
+def sobol_bits_shared(h: jnp.ndarray, masks: tuple, dim: int) -> jnp.ndarray:
+    """sobol_bits with the per-bit masks hoisted out (see sobol_masks).
+
+    Dimension 0's direction matrix is the identity (van der Corput:
+    DIRS[0][k] == 0x80000000 >> k, asserted in tests/test_qmc.py), so
+    its reversed-domain accumulation is literally a bit reversal of h -
+    15 ops instead of 32 and+xor pairs.
+    """
+    if dim == 0:
+        return reverse_bits32(h)
+    rd = _REV_DIRS[dim]
+    acc = masks[0] & jnp.uint32(rd[0])
+    for k in range(1, 32):
+        acc = acc ^ (masks[k] & jnp.uint32(rd[k]))
+    return acc
+
+
 def sobol_bits(h: jnp.ndarray, dim: int) -> jnp.ndarray:
     """reverse_bits(sobol_dim(shuffled_index)) as uint32.
 
     ``h`` is scrambled_index_word's output; ``dim`` is static.  Uses the
     bit-reversed direction table, so the XOR accumulation lands directly
-    in the reversed domain the output scramble wants.
+    in the reversed domain the output scramble wants.  One-dimension
+    convenience form; multi-dim consumers share masks via
+    sobol_masks/sobol_bits_shared (bit-identical: same XOR terms).
     """
-    rd = _REV_DIRS[dim]
-    acc = jnp.zeros_like(h)
-    one = jnp.uint32(1)
-    zero = jnp.uint32(0)
-    for k in range(32):
-        # All-ones mask when bit (31-k) of h is set (0 - 1 wraps to
-        # 0xFFFFFFFF).  Pure uint32 ops throughout: Mosaic has no
-        # integer converts to/from uint32 vectors, and this function
-        # must run unchanged inside the Pallas kernels.
-        bit = (h >> (31 - k)) & one
-        acc ^= (zero - bit) & jnp.uint32(rd[k])
-    return acc
+    return sobol_bits_shared(h, sobol_masks(h), dim)
 
 
 def owen_bits(idx: jnp.ndarray, pix_seed: jnp.ndarray, key, dim: int) -> jnp.ndarray:
@@ -166,8 +189,10 @@ def sobol_uniforms(
     """
     ps = pixel_seed(pixel_id, key)
     h = scrambled_index_word(idx, ps)
+    masks = sobol_masks(h)
     out = []
     for d in dims:
-        bits = reverse_bits32(laine_karras(sobol_bits(h, d), dim_seed(key, d)))
+        bits = reverse_bits32(
+            laine_karras(sobol_bits_shared(h, masks, d), dim_seed(key, d)))
         out.append(bits_to_unit(bits))
     return out
