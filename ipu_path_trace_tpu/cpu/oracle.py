@@ -83,10 +83,14 @@ def _intersect(scene: OracleScene, o, d):
         denom = d @ nrm
         num = (scene.disc_center[k] - o) @ nrm
         with np.errstate(divide="ignore", invalid="ignore"):
+            # t may be +-inf (parallel ray) or nan; hit_p then contains
+            # inf*0 garbage on those lanes.  Both are masked out by `ok`
+            # below (inf fails t > _EPS comparisons deterministically and
+            # nan compares false), so silence the transient FP warnings.
             t = num / denom
-        hit_p = o + d * t[:, None]
-        r2 = np.sum((hit_p - scene.disc_center[k]) ** 2, axis=-1)
-        ok = (np.abs(denom) > 1e-12) & (t > _EPS) & (r2 <= scene.disc_radius[k] ** 2)
+            hit_p = o + d * t[:, None]
+            r2 = np.sum((hit_p - scene.disc_center[k]) ** 2, axis=-1)
+            ok = (np.abs(denom) > 1e-12) & (t > _EPS) & (r2 <= scene.disc_radius[k] ** 2)
         ts[:, n_sph + k] = np.where(ok, t, np.inf)
     obj = np.argmin(ts, axis=1).astype(np.int32)
     t = ts[np.arange(p), obj]

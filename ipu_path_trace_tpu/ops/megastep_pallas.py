@@ -4,8 +4,8 @@ This is the TPU answer to the reference keeping its entire progressive
 step on-device - the sample loop (popops::countedForLoop,
 reference: src/PathTracerApp.cpp:466-468) around the RayTraceKernel and
 the NIF exec - with one addition the reference cannot make: the trace
-and the neural env light run in the SAME kernel, software-pipelined so
-the VPU and the MXU overlap.
+and the neural env light run in the SAME kernel, so rays, escape
+records and activations never leave VMEM.
 
 Why this shape (all numbers measured on v5e at 1104x1000):
 
@@ -14,16 +14,17 @@ Why this shape (all numbers measured on v5e at 1104x1000):
   peak - and the standalone fused NIF kernel measures 9.5 ms, i.e. it
   already runs AT its roofline.  The trace megakernel is pure VPU work
   at 3.9 ms/sample.  Run separately that is ~13.4 ms/sample of serial
-  device time.
-* The VPU and MXU execute concurrently when independent work is
-  interleaved in one kernel (measured: a NIF-shaped matmul chain +
-  trace-shaped transcendental work issued interleaved run in ~max of
-  their standalone times, not the sum - scripts/overlap_probe.py).
-* Therefore: iteration s of the in-kernel sample loop traces sample s
-  (VPU) while evaluating the NIF for sample s-1's escaped rays (MXU),
-  the layer matmuls hand-interleaved between bounce computations.  The
-  env contribution lands one iteration late (plus an epilogue for the
-  last sample), which changes nothing: accumulation is a sum.
+  device time, plus an HBM round-trip for the escape records.
+* Iteration s of the in-kernel sample loop runs the FULL NIF chain for
+  sample s-1's escaped rays, then traces sample s (chain-then-trace;
+  the env contribution lands one iteration late, plus an epilogue for
+  the last sample - accumulation is a sum, so nothing changes).  An
+  earlier design hand-interleaved the layer matmuls between bounce
+  computations chasing MXU/VPU overlap; measurement rejected it
+  (scripts/megastep_split.py, docs/PERF.md "Things measured and
+  rejected"): zero overlap materialised - register pressure and the
+  relu dependency chain pace the MXU anyway - and the interleave
+  blocked the dead-block early-out, which IS a measured win.
 
 Per-step HBM traffic drops from O(samples * 9P f32) for the two-kernel
 pipeline to O(P) - rays, escape records and activations never leave

@@ -66,6 +66,14 @@ _REV_DIRS: tuple[tuple[int, ...], ...] = tuple(
     tuple(_rev32_int(v) for v in row) for row in DIRS
 )
 
+# sobol_bits_shared's dim-0 shortcut (accumulate == bit-reverse) relies
+# on dimension 0 being the van der Corput identity matrix.  Guard it at
+# import time so a regenerated direction table can never silently break
+# the shortcut (tests exercise it, but only when scipy is installed).
+assert all(
+    DIRS[0][k] == (0x80000000 >> k) for k in range(32)
+), "Sobol dimension 0 must be the van der Corput identity matrix"
+
 
 def reverse_bits32(x: jnp.ndarray) -> jnp.ndarray:
     """Bit-reverse each lane of a uint32 vector (5-stage butterfly)."""
@@ -137,7 +145,7 @@ def sobol_bits_shared(h: jnp.ndarray, masks: tuple, dim: int) -> jnp.ndarray:
     """sobol_bits with the per-bit masks hoisted out (see sobol_masks).
 
     Dimension 0's direction matrix is the identity (van der Corput:
-    DIRS[0][k] == 0x80000000 >> k, asserted in tests/test_qmc.py), so
+    DIRS[0][k] == 0x80000000 >> k, asserted at import time above), so
     its reversed-domain accumulation is literally a bit reversal of h -
     15 ops instead of 32 and+xor pairs.
     """
