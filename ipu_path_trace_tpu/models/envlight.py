@@ -84,6 +84,7 @@ def bake_nif_env(
     height: int = 2048,
     width: int = 4096,
     use_pallas: bool = True,
+    max_batch_size: int = 30 * 1472,
 ) -> TextureEnv:
     """Decode the NIF once into an equirect texture (TPU-first mode).
 
@@ -111,10 +112,11 @@ def bake_nif_env(
     import numpy as np
     import jax
 
-    # Serialise by row blocks (the max-nif-batch-size strategy of
-    # PathTracerApp.cpp:146-164): an unbatched 2048x4096 bake would
-    # materialise ~(8.4M, hidden) activations per layer on the XLA path.
-    rows_per_chunk = max(1, (30 * 1472) // width)
+    # Serialise by row blocks (the --max-nif-batch-size strategy of
+    # PathTracerApp.cpp:146-164, wired from Config.max_nif_batch_size by
+    # runtime/app.py): an unbatched 2048x4096 bake would materialise
+    # ~(8.4M, hidden) activations per layer on the XLA path.
+    rows_per_chunk = max(1, max_batch_size // width)
     cols_v = jnp.tile(jnp.linspace(0.0, 1.0, width), rows_per_chunk)
     out_np = np.empty((height, width, 3), np.float32)
     apply_xla = jax.jit(nif_apply)

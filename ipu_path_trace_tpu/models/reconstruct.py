@@ -69,28 +69,31 @@ def reconstruct_image(
 
 
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 2:
-        print(
-            "usage: python -m ipu_path_trace_tpu.models.reconstruct "
-            "<assets_dir> <out.exr|out.png> [height width]",
-            file=sys.stderr,
-        )
-        return 2
+    import argparse
+
+    p = argparse.ArgumentParser(prog="reconstruct")
+    p.add_argument("assets_dir")
+    p.add_argument("outfile", help="output image (.exr or .png)")
+    p.add_argument("size", nargs="*", type=int, metavar="height width",
+                   help="override the metadata image shape")
+    p.add_argument("--max-batch-size", type=int, default=30 * 1472,
+                   help="NIF batch-serialisation cap (the app's "
+                        "--max-nif-batch-size; PathTracerApp.cpp:146-164)")
+    args = p.parse_args(argv)
     from ..film.imageio import write_exr, write_png
     from .nif import load_nif_assets
 
-    params, meta, _ = load_nif_assets(argv[0])
+    params, meta, _ = load_nif_assets(args.assets_dir)
     h, w = meta.image_shape[:2]
-    if len(argv) >= 4:
-        h, w = int(argv[2]), int(argv[3])
-    img = reconstruct_image(params, h, w)
-    if argv[1].endswith(".png"):
+    if len(args.size) >= 2:
+        h, w = args.size[0], args.size[1]
+    img = reconstruct_image(params, h, w, max_batch_size=args.max_batch_size)
+    if args.outfile.endswith(".png"):
         ldr = np.clip(np.power(np.maximum(img, 0.0), 1 / 2.2) * 255.0, 0, 255).astype(np.uint8)
-        write_png(argv[1], ldr)
+        write_png(args.outfile, ldr)
     else:
-        write_exr(argv[1], img)
-    logger().info("Wrote %s (%dx%d)", argv[1], w, h)
+        write_exr(args.outfile, img)
+    logger().info("Wrote %s (%dx%d)", args.outfile, w, h)
     return 0
 
 

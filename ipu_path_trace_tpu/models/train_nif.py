@@ -224,8 +224,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from ..film.imageio import load_hdr_image
+    from .synth_env import resolve_synth
 
-    img = load_hdr_image(args.input)
+    # `synth:urban-alley:<H>x<W>:seed<N>` pseudo-paths resolve through
+    # the deterministic generator (models/synth_env.py), so shipped
+    # reference-scale assets replay without a 100 MB EXR in the repo.
+    img = resolve_synth(args.input)
+    if img is None:
+        img = load_hdr_image(args.input)
     sizes: int | Sequence[int] = args.layer_size
     if args.layer_sizes:
         sizes = [int(t) for t in args.layer_sizes.split(",")]

@@ -181,7 +181,8 @@ class PathTracerApp:
                         else (2048, 4096))
                 t0 = time.monotonic()
                 self.env = bake_nif_env(
-                    self.env, int(h), int(w), use_pallas=self.cfg.use_pallas
+                    self.env, int(h), int(w), use_pallas=self.cfg.use_pallas,
+                    max_batch_size=self.cfg.max_nif_batch_size,
                 )
                 jax.block_until_ready(self.env.texture)
                 logger().info(

@@ -46,6 +46,12 @@ class Config:
     assets: str = ""  # NIF assets dir, or "constant:r,g,b" / "texture:<file>"
     partials_type: str = "half"  # half -> bf16 matmuls, float -> f32
     available_memory_proportion: float = 0.6
+    # NIF batch-serialisation cap (PathTracerApp.cpp:146-198,825-827).
+    # Bounds the largest single NIF inference batch on the paths that
+    # evaluate the net over a full image grid: --nif-mode=baked
+    # (models/envlight.bake_nif_env) and models/reconstruct.  The fused
+    # render path needs no serialisation - its batch is the kernel grid
+    # block, already far below this cap.
     max_nif_batch_size: int = 30 * 1472
     ui_port: int = 0
 

@@ -1,0 +1,185 @@
+"""Reference-scale NIF sweep: train/apply the width rule at 2048x4096.
+
+Round-3 verdict: every shipped width decision rested on content an
+order of magnitude smaller and smoother than the reference's canonical
+asset (a real 2048x4096 urban-alley HDRI - reference:
+nif_models/urban_alley_01_4k_fp16_yuv/assets.extra/nif_metadata.txt).
+This script re-runs the sweep ON-CLASS and AT-SCALE:
+
+1. generate the deterministic synthetic urban-alley env at 2048x4096
+   (models/synth_env.py - window grids, hard sun, street lights);
+2. train each candidate architecture with the matched recipe
+   (6000 epochs, batch 65536, 2 steps/epoch, cosine decay, seed 0);
+3. PSNR against the full 2048x4096 source;
+4. merge results into docs/NIF_WIDTHS.json "urban_alley_synth_2048x4096";
+5. ship the canonical 6x320 asset (assets/urban_alley_synth_nif) and,
+   if a faster arch passes the decision rule (fastest arch whose PSNR
+   >= canonical's ON THIS CONTENT), ship it as
+   assets/urban_alley_synth_tuned.
+
+Run (TPU):  python scripts/nif_reference_scale.py [--epochs 6000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+SYNTH = "synth:urban-alley:2048x4096:seed7"
+SECTION = "urban_alley_synth_2048x4096"
+
+# Measured megastep rates per architecture at the canonical 1104x1000
+# config (docs/NIF_WIDTHS.json procedural_sky sweep - arch-determined,
+# content-independent).  The decision rule orders candidates by these.
+KNOWN_MPATHS = {
+    "128": 402.9, "192": 248.2, "192e16": 245.4,
+    "256": 254.3, "256e12": 188.9, "256e16": 187.4, "320": 124.0,
+}
+
+
+def parse_arch(token: str) -> tuple[int, int]:
+    """'192' -> (192, 12); '192e16' -> (192, 16)."""
+    if "e" in token:
+        w, e = token.split("e")
+        return int(w), int(e)
+    return int(token), 12
+
+
+def train_one(src: np.ndarray, width: int, embed: int, epochs: int,
+              batch_size: int):
+    from ipu_path_trace_tpu.models.train_nif import train_nif
+
+    return train_nif(
+        src, layer_size=width, epochs=epochs, batch_size=batch_size,
+        cosine_decay=True, seed=0, embedding_dim=embed,
+        # Matched OPTIMIZER budget (2 steps/epoch regardless of image
+        # size - 12k steps at 6000 epochs), same as every other sweep:
+        train_samples=2 * batch_size,
+        name=SYNTH,
+    )
+
+
+def merge_results(entries: list[dict], epochs: int) -> None:
+    out_path = os.path.join(REPO, "docs", "NIF_WIDTHS.json")
+    try:
+        data = json.load(open(out_path))
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"warning: could not read {out_path} ({e}); starting fresh",
+              file=sys.stderr)
+        data = {}
+    key = lambda e: (str(e["width"]), int(e.get("embedding_dim", 12)))
+    merged = {key(e): e for e in data.get(SECTION, {}).get("results", [])}
+    for e in entries:
+        merged[key(e)] = e
+    data[SECTION] = {
+        "description": "deterministic synthetic urban-alley env at the "
+                       "reference's full 2048x4096 scale "
+                       f"({SYNTH}; models/synth_env.py); matched recipe; "
+                       "PSNR at the full frame",
+        "epochs": epochs,
+        "results": [merged[k] for k in sorted(merged)],
+    }
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=2)
+        f.write("\n")
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+def ship(weights, meta, out_name: str, arch: str, epochs: int,
+         batch_size: int) -> None:
+    """Save a shipped asset with a REPLAYABLE train_command."""
+    from ipu_path_trace_tpu.models.train_nif import save_assets
+
+    width, embed = parse_arch(arch)
+    out_dir = os.path.join(REPO, "assets", out_name)
+    cmd = ["python", "-m", "ipu_path_trace_tpu.models.train_nif",
+           SYNTH, f"assets/{out_name}",
+           "--layer-count", "6", "--layer-size", str(width),
+           "--embedding-dimension", str(embed),
+           "--skip-layer", "3",
+           "--epochs", str(epochs),
+           "--batch-size", str(batch_size),
+           "--train-samples", str(2 * batch_size),
+           "--learning-rate", "0.001",
+           "--seed", "0", "--cosine-decay"]
+    save_assets(out_dir, weights, meta, cmd)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=6000)
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--archs", nargs="*",
+                   default=["320", "256", "192", "192e16"])
+    p.add_argument("--no-ship", action="store_true")
+    args = p.parse_args()
+
+    from ipu_path_trace_tpu.models.nif import make_params
+    from ipu_path_trace_tpu.models.reconstruct import reconstruct_image
+    from ipu_path_trace_tpu.models.synth_env import resolve_synth
+    from scripts.nif_width_sweep import psnr_log  # same metric
+
+    t0 = time.monotonic()
+    src = resolve_synth(SYNTH)
+    h, w = src.shape[:2]
+    print(f"urban env {w}x{h} generated in {time.monotonic() - t0:.0f}s, "
+          f"dyn range {src.min():.3g}..{src.max():.3g}", file=sys.stderr)
+
+    trained = {}
+    entries = []
+    for arch in args.archs:
+        width, embed = parse_arch(arch)
+        t0 = time.monotonic()
+        weights, meta, loss = train_one(src, width, embed, args.epochs,
+                                        args.batch_size)
+        params = make_params(weights, meta, jnp.bfloat16)
+        recon = reconstruct_image(params, h, w)
+        q = psnr_log(recon, src)
+        entry = {"width": width, "psnr_log_db": round(q, 2),
+                 "final_loss": loss,
+                 "train_seconds": round(time.monotonic() - t0, 1)}
+        if embed != 12:
+            entry["embedding_dim"] = embed
+        entries.append(entry)
+        trained[arch] = (weights, meta)
+        print(json.dumps(entry))
+        merge_results(entries, args.epochs)  # survive a mid-run crash
+
+    if args.no_ship:
+        return 0
+
+    # --- the decision rule, applied ON-CLASS ---
+    canon = "320"
+    if canon not in trained:
+        print("no canonical 320 in --archs; not shipping", file=sys.stderr)
+        return 0
+    psnr = {a: e["psnr_log_db"]
+            for a, e in zip(args.archs, entries)}
+    ship(*trained[canon], "urban_alley_synth_nif", canon, args.epochs,
+         args.batch_size)
+    passing = [a for a in trained
+               if a != canon and psnr[a] >= psnr[canon]
+               and KNOWN_MPATHS.get(a, 0) > KNOWN_MPATHS[canon]]
+    if passing:
+        winner = max(passing, key=lambda a: KNOWN_MPATHS[a])
+        ship(*trained[winner], "urban_alley_synth_tuned", winner,
+             args.epochs, args.batch_size)
+        print(f"rule winner ON-CLASS: {winner} "
+              f"({psnr[winner]} dB >= canonical {psnr[canon]} dB)")
+    else:
+        print(f"no faster arch matches canonical PSNR {psnr[canon]} dB "
+              "ON-CLASS; the canonical 6x320 IS the tuned config here")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

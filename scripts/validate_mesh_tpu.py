@@ -80,6 +80,60 @@ def main() -> int:
         ok &= eq
         print(f"  {f:13s}: {'EXACT' if eq else 'MISMATCH'}"
               + ("" if eq else f"  max|d|={np.abs(a - b).max():.3e}"))
+
+    # --sampler sobol through the same shard_map'd megastep (round-3
+    # feature; the sharded step offsets sobol sequence indices by the
+    # samples-axis position, an identity on a 1x1 mesh):
+    cfg_s = cfg._replace(sampler="sobol", sobol_dims=12)
+    out_mesh_s = sharded_render_step(
+        replicate(scene, mesh), settings, cfg_s, shard_work(work, mesh),
+        key, replicate(env, mesh), mesh,
+    )
+    out_single_s = render_step(scene, settings, cfg_s, work, key2, env)
+    for f in out_single_s._fields:
+        a = np.asarray(getattr(out_mesh_s, f))
+        b = np.asarray(getattr(out_single_s, f))
+        eq = np.array_equal(a, b)
+        ok &= eq
+        print(f"  sobol {f:13s}: {'EXACT' if eq else 'MISMATCH'}"
+              + ("" if eq else f"  max|d|={np.abs(a - b).max():.3e}"))
+
+    # --adaptive through the mesh (round-3 feature): two steps so the
+    # second allocates from real moments; per-shard on-device controller,
+    # lum2 psum, budget-BOUNDED megastep loop on hardware:
+    from ipu_path_trace_tpu.parallel.mesh import (
+        shard_array, sharded_adaptive_render_step,
+    )
+    from ipu_path_trace_tpu.render.adaptive import adaptive_render_step
+
+    cfg_a = cfg._replace(adaptive_min=2, adaptive_max_factor=4.0)
+    lum2 = jnp.zeros(work.u.shape[0], jnp.float32)
+    out_mesh_a, l2_mesh = shard_work(work, mesh), shard_array(lum2, mesh)
+    out_single_a, l2_single = work, lum2
+    for step in (1, 2):
+        k = jax.random.fold_in(key, step)
+        out_mesh_a, l2_mesh = sharded_adaptive_render_step(
+            replicate(scene, mesh), settings, cfg_a, out_mesh_a, l2_mesh,
+            k, replicate(env, mesh), mesh,
+        )
+        k2 = jax.random.fold_in(jax.random.fold_in(k, 0), 0)
+        out_single_a, l2_single = adaptive_render_step(
+            scene, settings, cfg_a, out_single_a, l2_single, k2, env)
+    for f in out_single_a._fields:
+        a = np.asarray(getattr(out_mesh_a, f))
+        b = np.asarray(getattr(out_single_a, f))
+        eq = np.array_equal(a, b)
+        ok &= eq
+        print(f"  adaptive {f:13s}: {'EXACT' if eq else 'MISMATCH'}"
+              + ("" if eq else f"  max|d|={np.abs(a - b).max():.3e}"))
+    eq = np.array_equal(np.asarray(l2_mesh), np.asarray(l2_single))
+    ok &= eq
+    print(f"  adaptive lum2        : {'EXACT' if eq else 'MISMATCH'}")
+    counts = np.asarray(out_mesh_a.sample_count)
+    adapted = counts.min() != counts.max()
+    ok &= adapted
+    print(f"  adaptive budgets varied across blocks: {adapted}")
+
     print("PASS" if ok else "FAIL (sharded != single-chip replay)")
     return 0 if ok else 1
 
