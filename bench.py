@@ -6,24 +6,27 @@ camera sample (the reference's samples/sec metric,
 src/PathTracerApp.cpp:766-770).  Baseline: the driver-assigned target of
 50 Mpaths/sec/chip (BASELINE.md).
 
-Two env models are measured (both TRAINED on assets/procedural_sky.exr,
-both through the identical fused megastep):
-
-  * 6x192 E=16 (assets/nif_w192e16)  - the tuned width from the MXU
-    width sweep (docs/NIF_WIDTHS.json) with the kernel-free E=16
-    embedding (skip-concat lands exactly on 256): reconstruction PSNR
-    60.15 dB, ABOVE the canonical width's 59.2, at half the canonical
-    padded matmul cost.  THE HEADLINE.
-  * 6x320 (assets/procedural_sky_nif) - the reference's canonical
-    urban_alley-class architecture, reported for parity comparability
-    (printed to stderr).
+THE HEADLINE is the canonical 6x320 architecture (the reference's
+urban_alley-class NIF, README.md:96), loaded from the reference-scale
+on-class asset assets/urban_alley_synth_nif (trained on a deterministic
+2048x4096 urban-alley-class env - the reference's content scale).  The
+round-3 headline substituted a narrower 6x192 E=16 NIF whose quality
+advantage was measured only on a smooth 256x512 sky; the on-class sweep
+at 2048x4096 (docs/NIF_WIDTHS.json "urban_alley_synth_2048x4096")
+showed the order INVERTS there - 320 wins at 36.29 dB while 192-E16
+drops to 31.89 - so no faster width passes the decision rule ("fastest
+width whose PSNR >= canonical's ON the metric's content class") and the
+canonical config IS the tuned config.  The 192-E16 rate is still
+measured and reported (stderr + "offclass_192e16_mpaths" in the JSON)
+as an off-class speed point: it remains a legitimate choice for
+low-frequency sky-class envs, where it holds 60.15 dB vs 320's 59.2.
 
 Hardening (round-2): canonical 300 spp/step, a >= 10 s timed window
 (run-to-run variance < 3%), and a one-shot retry on the transient HTTP
 500s the remote TPU compile helper occasionally throws (CLAUDE.md).
 
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -73,9 +76,10 @@ def _load_env(asset_dir: str):
         desc = f"trained {arch} NIF env"
         if meta.embedding_dimension != 12:
             desc += f" (E={meta.embedding_dimension})"
-        if os.path.basename(asset_dir) == "nif_w192e16":
-            desc += (" (reconstruction PSNR 60.15 dB > canonical 6x320's "
-                     "59.2 at matched recipe; docs/NIF_WIDTHS.json)")
+        if os.path.basename(asset_dir) == "urban_alley_synth_nif":
+            desc += (" (canonical arch, trained at the reference's "
+                     "2048x4096 content scale; on-class PSNR 36.29 dB, "
+                     "docs/NIF_WIDTHS.json)")
         print(f"bench NIF: {desc} ({asset_dir})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - fall back, report why
         desc = "synthetic 6x320 NIF env (FALLBACK - trained asset failed to load)"
@@ -150,20 +154,25 @@ def main() -> None:
     # before execution finishes; a scalar fetch is a reliable barrier.
     sync = jax.jit(lambda w: w.r[0] + w.b[-1])
 
-    env_tuned, desc = _load_env(os.path.join(REPO, "assets", "nif_w192e16"))
-    headline = _measure("tuned", env_tuned, scene, cfg, settings, work, sync)
+    env_canon, desc = _load_env(
+        os.path.join(REPO, "assets", "urban_alley_synth_nif"))
+    headline = _measure("canonical 6x320", env_canon, scene, cfg, settings,
+                        work, sync)
 
-    # Canonical-width parity number (stderr only; same kernel, the
-    # reference's 6x320 urban_alley-class architecture):
+    # Off-class speed point (informational): the 192-E16 width that wins
+    # on sky-class content but FAILS the on-class PSNR rule at 2048x4096
+    # (31.89 vs 36.29 dB, docs/NIF_WIDTHS.json) - kept visible so the
+    # speed/quality frontier stays measured:
+    offclass = None
     try:
-        env_canon, _ = _load_env(os.path.join(REPO, "assets",
-                                              "procedural_sky_nif"))
-        canon = _measure("6x320 canonical", env_canon, scene, cfg, settings,
-                         work, sync)
-        print(f"canonical 6x320 parity rate: {canon:.1f} Mpaths/s",
+        env_tuned, _ = _load_env(os.path.join(REPO, "assets", "nif_w192e16"))
+        offclass = _measure("192-E16 off-class", env_tuned, scene, cfg,
+                            settings, work, sync)
+        print(f"off-class 192-E16 rate: {offclass:.1f} Mpaths/s "
+              "(sky-class quality only; fails the on-class rule)",
               file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 - parity number is informational
-        print(f"canonical 6x320 parity rate skipped: {e}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - secondary number is informational
+        print(f"off-class 192-E16 rate skipped: {e}", file=sys.stderr)
 
     # Context line (stderr): the throughput above is paths/sec; with
     # --adaptive the same kernel converges to equal RMSE ~4x sooner
@@ -176,16 +185,16 @@ def main() -> None:
               f"(docs/ADAPTIVE.json)", file=sys.stderr)
     except Exception:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": f"Mpaths/sec/chip at 1104x1000, {desc}",
-                "value": round(headline, 3),
-                "unit": "Mpaths/s",
-                "vs_baseline": round(headline / BASELINE_MPATHS, 4),
-            }
-        )
-    )
+    line = {
+        "metric": f"Mpaths/sec/chip at 1104x1000, {desc}",
+        "value": round(headline, 3),
+        "unit": "Mpaths/s",
+        "vs_baseline": round(headline / BASELINE_MPATHS, 4),
+        "onclass_psnr_db": {"6x320": 36.29, "192e16": 31.89},
+    }
+    if offclass is not None:
+        line["offclass_192e16_mpaths"] = round(offclass, 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ import sys
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
@@ -46,20 +47,26 @@ KNOWN_MPATHS = {
 }
 
 
-def parse_arch(token: str) -> tuple[int, int]:
-    """'192' -> (192, 12); '192e16' -> (192, 16)."""
+def parse_arch(token: str) -> tuple[int, int, int]:
+    """'192' -> (192, 12, 6); '192e16' -> (192, 16, 6);
+    '256x8' -> (256, 12, 8) (width x hidden-layer-count)."""
+    embed, layers = 12, 6
     if "e" in token:
-        w, e = token.split("e")
-        return int(w), int(e)
-    return int(token), 12
+        token, e = token.split("e")
+        embed = int(e)
+    if "x" in token:
+        token, l = token.split("x")
+        layers = int(l)
+    return int(token), embed, layers
 
 
-def train_one(src: np.ndarray, width: int, embed: int, epochs: int,
-              batch_size: int):
+def train_one(src: np.ndarray, width: int, embed: int, layers: int,
+              epochs: int, batch_size: int):
     from ipu_path_trace_tpu.models.train_nif import train_nif
 
     return train_nif(
-        src, layer_size=width, epochs=epochs, batch_size=batch_size,
+        src, layer_size=width, layer_count=layers, skip_layer=layers // 2,
+        epochs=epochs, batch_size=batch_size,
         cosine_decay=True, seed=0, embedding_dim=embed,
         # Matched OPTIMIZER budget (2 steps/epoch regardless of image
         # size - 12k steps at 6000 epochs), same as every other sweep:
@@ -99,13 +106,13 @@ def ship(weights, meta, out_name: str, arch: str, epochs: int,
     """Save a shipped asset with a REPLAYABLE train_command."""
     from ipu_path_trace_tpu.models.train_nif import save_assets
 
-    width, embed = parse_arch(arch)
+    width, embed, layers = parse_arch(arch)
     out_dir = os.path.join(REPO, "assets", out_name)
     cmd = ["python", "-m", "ipu_path_trace_tpu.models.train_nif",
            SYNTH, f"assets/{out_name}",
-           "--layer-count", "6", "--layer-size", str(width),
+           "--layer-count", str(layers), "--layer-size", str(width),
            "--embedding-dimension", str(embed),
-           "--skip-layer", "3",
+           "--skip-layer", str(layers // 2),
            "--epochs", str(epochs),
            "--batch-size", str(batch_size),
            "--train-samples", str(2 * batch_size),
@@ -121,6 +128,8 @@ def main() -> int:
     p.add_argument("--archs", nargs="*",
                    default=["320", "256", "192", "192e16"])
     p.add_argument("--no-ship", action="store_true")
+    p.add_argument("--no-bench", action="store_true",
+                   help="skip the megastep rate measurement per arch")
     args = p.parse_args()
 
     from ipu_path_trace_tpu.models.nif import make_params
@@ -134,13 +143,19 @@ def main() -> int:
     print(f"urban env {w}x{h} generated in {time.monotonic() - t0:.0f}s, "
           f"dyn range {src.min():.3g}..{src.max():.3g}", file=sys.stderr)
 
+    from scripts.nif_width_sweep import (  # measured megastep rate
+        HEIGHT as BW_H, SPP as BW_SPP, WIDTH as BW_W, bench_width,
+    )
+
+    on_tpu = jax.devices()[0].platform == "tpu"
     trained = {}
     entries = []
+    rate = dict(KNOWN_MPATHS)
     for arch in args.archs:
-        width, embed = parse_arch(arch)
+        width, embed, layers = parse_arch(arch)
         t0 = time.monotonic()
-        weights, meta, loss = train_one(src, width, embed, args.epochs,
-                                        args.batch_size)
+        weights, meta, loss = train_one(src, width, embed, layers,
+                                        args.epochs, args.batch_size)
         params = make_params(weights, meta, jnp.bfloat16)
         recon = reconstruct_image(params, h, w)
         q = psnr_log(recon, src)
@@ -149,6 +164,13 @@ def main() -> int:
                  "train_seconds": round(time.monotonic() - t0, 1)}
         if embed != 12:
             entry["embedding_dim"] = embed
+        if layers != 6:
+            entry["layers"] = layers
+        if on_tpu and not args.no_bench:
+            ms = bench_width(params)
+            entry["ms_per_sample"] = round(ms, 3)
+            entry["mpaths_per_sec"] = round(BW_W * BW_H / ms / 1e3, 1)
+            rate[arch] = entry["mpaths_per_sec"]
         entries.append(entry)
         trained[arch] = (weights, meta)
         print(json.dumps(entry))
@@ -168,13 +190,14 @@ def main() -> int:
          args.batch_size)
     passing = [a for a in trained
                if a != canon and psnr[a] >= psnr[canon]
-               and KNOWN_MPATHS.get(a, 0) > KNOWN_MPATHS[canon]]
+               and rate.get(a, 0) > rate[canon]]
     if passing:
-        winner = max(passing, key=lambda a: KNOWN_MPATHS[a])
+        winner = max(passing, key=lambda a: rate[a])
         ship(*trained[winner], "urban_alley_synth_tuned", winner,
              args.epochs, args.batch_size)
         print(f"rule winner ON-CLASS: {winner} "
-              f"({psnr[winner]} dB >= canonical {psnr[canon]} dB)")
+              f"({psnr[winner]} dB >= canonical {psnr[canon]} dB at "
+              f"{rate[winner]} vs {rate[canon]} Mpaths/s)")
     else:
         print(f"no faster arch matches canonical PSNR {psnr[canon]} dB "
               "ON-CLASS; the canonical 6x320 IS the tuned config here")

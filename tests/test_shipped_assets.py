@@ -25,6 +25,11 @@ ASSETS = {
     # The mixed-width speed extreme: 444 Mpaths/s, the fastest measured
     # configuration (docs/PERF.md "mixed per-layer widths"):
     "nif_m128-128-80-128-128-128": ([128, 128, 80, 128, 128, 128], 12),
+    # Reference-scale asset: canonical 6x320 trained on the deterministic
+    # 2048x4096 synthetic urban-alley env (the reference's
+    # urban_alley_01_4k content class; docs/NIF_WIDTHS.json
+    # "urban_alley_synth_2048x4096"):
+    "urban_alley_synth_nif": ([320] * 6, 12),
 }
 
 
@@ -74,7 +79,10 @@ def test_train_command_is_replayable(name):
 
     src_parser = build_parser()
     args = src_parser.parse_args(argv)
-    assert args.input.endswith("procedural_sky.exr")
+    # Training sources are either the shipped EXR or a deterministic
+    # synth: spec (models/synth_env.py) - both fully replayable:
+    assert (args.input.endswith("procedural_sky.exr")
+            or args.input.startswith("synth:"))
     assert args.embedding_dimension == ASSETS[name][1]
     sizes = ([int(t) for t in args.layer_sizes.split(",")]
              if args.layer_sizes else [args.layer_size] * args.layer_count)
