@@ -101,18 +101,54 @@ def _stub_bounce(sph_ref, dsc_ref, num_s, num_d, st, rr, u1, u2, fr, b,
 
 def _env_contrib(ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs,
                  embedding_dim: int, upcast_dot: bool = False,
-                 layer_fn=nif_layer):
-    """Escaped-ray env shade: equirect -> NIF chain -> weighted rgb."""
+                 layer_fn=nif_layer, env_skip: bool = False):
+    """Escaped-ray env shade: equirect -> NIF chain -> weighted rgb.
+
+    Dead-block env-skip (env_skip=True): when EVERY lane's escape
+    weight is zero (the whole block's paths were absorbed or
+    roulette-killed without escaping) the weighted contribution is
+    exactly zero, so the entire matmul chain is skipped behind one
+    scalar conditional - the MXU analog of the trace's dead-block
+    early-out.  Escape weights are path throughputs (products of
+    albedos, >= 0), so a zero sum means every weight component is zero
+    and the skip branch is an exact identity (zero weights times the
+    finite NIF output is exactly the returned zeros; bit-exact on an
+    enclosed scene, tests/test_megastep.py::test_megastep_env_skip_exact).
+    When the guard does NOT fire, wrapping the chain in lax.cond can
+    still change XLA fusion and so reassociate the dots by <= 1 ULP
+    (~2e-7 observed) - semantically identical, not bit-identical,
+    which is the other half of that test.  The reference pays the full
+    batch regardless (codelets.cpp:348-352).  Measured on v5e
+    (scripts/envskip_bench.py, docs/ENVSKIP.json): 7.55x on a fully
+    enclosed scene (1.16 vs 8.77 ms/sample - the NIF chain elided),
+    but the guard costs ~1.5% on open scenes where no block is ever
+    all-dead (default/mirror_hall/glass_caustic: dead-block fraction
+    <= 0.0005) - hence OFF by default, opt in per scene via
+    StaticConfig.env_skip / --env-skip."""
     num_layers = len(w_refs)
-    u, v = equirect_from_dir(ex, ey, ez, scal_ref[0, 5])
-    feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
-    x = feats
-    for i in range(num_layers):
-        x = layer_fn(x, feats, w_refs[i], b_refs[i], i == num_layers - 1,
-                     upcast_dot)
-    out = nif_decode(x, scal_ref)  # (3, B), network (bgr) channel order
-    # bgr -> rgb flip + throughput weights (codelets.cpp:377-378):
-    return wx * out[2], wy * out[1], wz * out[0]
+
+    def full_chain(ops):
+        ex_, ey_, ez_, wx_, wy_, wz_ = ops
+        u, v = equirect_from_dir(ex_, ey_, ez_, scal_ref[0, 5])
+        feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
+        x = feats
+        for i in range(num_layers):
+            x = layer_fn(x, feats, w_refs[i], b_refs[i],
+                         i == num_layers - 1, upcast_dot)
+        out = nif_decode(x, scal_ref)  # (3, B), network (bgr) order
+        # bgr -> rgb flip + throughput weights (codelets.cpp:377-378):
+        return wx_ * out[2], wy_ * out[1], wz_ * out[0]
+
+    if not env_skip:
+        return full_chain((ex, ey, ez, wx, wy, wz))
+
+    def no_escapes(ops):
+        z = ops[0] * 0.0
+        return z, z, z
+
+    total_w = jnp.sum(wx) + jnp.sum(wy) + jnp.sum(wz)
+    return jax.lax.cond(total_w > 0.0, full_chain, no_escapes,
+                        (ex, ey, ez, wx, wy, wz))
 
 
 def _kernel(
@@ -131,6 +167,7 @@ def _kernel(
     stub: str | None,  # None | 'nif' | 'trace' | 'both' (devtime split)
     has_budgets: bool,  # per-block sample budgets (render/adaptive.py)
     with_stats: bool,  # accumulate per-record lum^2 second moments
+    env_skip: bool,  # dead-block env-skip (_env_contrib)
     # refs:
     fpar_ref,  # SMEM (1, 8) f32
     ipar_ref,  # SMEM (1, 8) i32: roulette_depth seed0 seed1 n_samples sobol_key
@@ -240,7 +277,7 @@ def _kernel(
         # blocked the dead-block early-out below.
         cr, cg, cb = _env_contrib(
             ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
-            upcast_dot, layer_fn,
+            upcast_dot, layer_fn, env_skip,
         )
 
         def bounce_rnd(b):
@@ -347,7 +384,7 @@ def _kernel(
     # Epilogue: the LAST sample's escaped rays still need their env light.
     cr, cg, cb = _env_contrib(
         ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
-        upcast_dot, layer_fn,
+        upcast_dot, layer_fn, env_skip,
     )
     acc_ref[:] = jnp.stack([ar + cr, ag + cg, ab + cb], axis=0)
     plen_ref[:] = apl.reshape(1, n)
@@ -362,7 +399,7 @@ def _kernel(
     static_argnames=(
         "width", "height", "max_path_length", "aa_noise_type",
         "block_size", "interpret", "split_point", "stub", "with_stats",
-        "sobol_dims",
+        "sobol_dims", "env_skip",
     ),
 )
 def render_megastep_pallas(
@@ -386,6 +423,7 @@ def render_megastep_pallas(
     interpret: bool = False,
     split_point: int | None = None,  # probe knob (scripts/megastep_splitpoint)
     stub: str | None = None,  # 'nif'/'trace'/'both': devtime in-kernel split
+    env_skip: bool = False,  # elide NIF for all-dead blocks (_env_contrib)
 ) -> MegaStepOut:
     """Render settings.samples_per_step samples of every pixel, fused.
 
@@ -539,7 +577,7 @@ def render_megastep_pallas(
             _kernel, num_s, num_d, max_path_length, num_layers,
             params.embedding_dim, width, height, aa_noise_type, host_samples,
             sobol_dims, interpret, split_point, stub, budgets is not None,
-            with_stats,
+            with_stats, env_skip,
         ),
         out_shape=tuple(out_shape),
         grid=grid,

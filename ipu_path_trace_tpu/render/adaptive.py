@@ -203,6 +203,7 @@ def adaptive_render_step_impl(
             max_path_length=cfg.max_path_length,
             aa_noise_type=cfg.aa_noise_type,
             block_size=block, interpret=interp,
+            env_skip=cfg.env_skip,
         )
     else:
         spp = settings.samples_per_step
@@ -231,6 +232,7 @@ def adaptive_render_step_impl(
             width=cfg.width, height=cfg.height,
             max_path_length=cfg.max_path_length,
             aa_noise_type=cfg.aa_noise_type,
+            env_skip=cfg.env_skip,
         )
 
     inc = jnp.repeat(budgets, block)[:p]

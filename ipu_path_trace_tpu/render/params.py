@@ -46,6 +46,13 @@ class StaticConfig(NamedTuple):
     # [adaptive_min, adaptive_max_factor * samples_per_step]:
     adaptive_min: int = 8
     adaptive_max_factor: float = 16.0
+    # Dead-block env-skip: elide the whole NIF matmul chain for kernel
+    # blocks whose escape weights are all zero (exact identity; the MXU
+    # analog of the trace's dead-block early-out).  Measured 7.55x on a
+    # fully enclosed scene but ~1.5% overhead on open scenes where no
+    # block ever dies (docs/ENVSKIP.json) - so opt-in per scene
+    # (--env-skip for interiors).
+    env_skip: bool = False
     # Sample-stream generator: "prng" = independent counter-based
     # uniforms (threefry on host, hardware PRNG in the kernels - the
     # analog of the reference's poprand pools, PathTracerApp.cpp:266-299);

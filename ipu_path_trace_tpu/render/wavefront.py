@@ -515,6 +515,7 @@ def render_step_impl(
                 aa_noise_type=cfg.aa_noise_type,
                 interpret=interp,
                 stub=cfg.megastep_stub or None,
+                env_skip=cfg.env_skip,
                 **kw,
             )
             spp = jnp.int32(cfg.pallas_interpret)
@@ -531,6 +532,7 @@ def render_step_impl(
                 max_path_length=cfg.max_path_length,
                 aa_noise_type=cfg.aa_noise_type,
                 stub=cfg.megastep_stub or None,
+                env_skip=cfg.env_skip,
             )
             spp = settings.samples_per_step
         return WorkBatch(

@@ -204,6 +204,7 @@ class PathTracerApp:
             adaptive_max_factor=self.cfg.adaptive_max_factor,
             sampler=self.cfg.sampler,
             sobol_dims=self.cfg.sobol_dims,
+            env_skip=self.cfg.env_skip,
         )
 
     def local_samples(self, samples_per_step: int) -> int:

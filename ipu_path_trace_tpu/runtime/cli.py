@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "(trace kernel vs NIF env kernel vs fused step) at "
                           "the render shape before the loop starts - the "
                           "cycle-counter analog of the reference.")
+    tpu.add_argument("--env-skip", action="store_true", default=False,
+                     help="Skip the NIF env-light matmuls for kernel blocks "
+                          "whose paths all died without escaping (exact; "
+                          "measured 7.6x on a fully enclosed scene, ~1.5%% "
+                          "overhead on open scenes - docs/ENVSKIP.json). "
+                          "Use for interior scenes.")
     tpu.add_argument("--aperture", type=float, default=0.0,
                      help="Thin-lens aperture radius (scene units); 0 = pinhole.")
     tpu.add_argument("--focal-distance", type=float, default=1.0,
@@ -221,6 +227,7 @@ def parse_config(argv=None) -> Config:
         nif_mode=args.nif_mode,
         profile_dir=args.profile_dir,
         device_timing=args.device_timing,
+        env_skip=args.env_skip,
         aperture=args.aperture,
         focal_distance=args.focal_distance,
         device_film=args.device_film,

@@ -75,6 +75,11 @@ class Config:
     nif_mode: str = "fused"  # fused | baked
     profile_dir: str = ""  # XLA profiler trace dir (PVTI analog); "" = off
     device_timing: bool = False  # log the trace/NIF device-time split
+    # Dead-block env-skip: elide the NIF matmul chain for kernel blocks
+    # whose escape weights are all zero (exact identity).  Pays 7.55x on
+    # fully enclosed scenes, ~1.5% overhead on open ones
+    # (docs/ENVSKIP.json) - opt in for interiors:
+    env_skip: bool = False
     # Thin-lens depth of field; aperture 0 = the reference's pinhole:
     aperture: float = 0.0
     focal_distance: float = 1.0

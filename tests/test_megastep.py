@@ -115,6 +115,52 @@ def test_megastep_mixed_width_nif():
     assert rel.max() < 8e-2
 
 
+def test_megastep_env_skip_exact():
+    """The dead-block env-skip (--env-skip) semantics: with identical
+    noise, env_skip on/off must agree - on the open default scene the
+    guard may only perturb the guarded NIF chain by float reassociation
+    (lax.cond changes fusion; <= 1 ULP observed, bounded here at 1e-6),
+    while on a fully enclosed scene (camera inside a giant diffuse
+    shell: every block is all-dead, the skip branch actually fires) the
+    elided chain must be BIT-EXACT - zero weights times finite NIF
+    output is exactly the skip branch's zeros."""
+    from ipu_path_trace_tpu.core.scenefile import scene_from_dict
+
+    enclosed = scene_from_dict({"objects": [
+        {"type": "sphere", "center": [0.0, 0.0, 0.0], "radius": 50.0,
+         "colour": [0.5, 0.5, 0.5], "material": "diffuse",
+         "emission": [0.2, 0.2, 0.2]},
+        {"type": "sphere", "center": [0.0, -0.5, -3.0], "radius": 0.5,
+         "colour": [0.8, 0.3, 0.3], "material": "specular"},
+    ]})
+    base = _setup()
+    for scene, rtol, atol in ((base[0], 1e-6, 1e-6), (enclosed, 0.0, 0.0)):
+        _, cfg, settings, params, cols, rows, noise = base
+        outs = [
+            render_megastep_pallas(
+                scene, settings, params, cols, rows, noise=jnp.asarray(noise),
+                width=W, height=H, max_path_length=MAXLEN,
+                aa_noise_type=cfg.aa_noise_type, block_size=BLOCK,
+                interpret=True, env_skip=skip,
+            )
+            for skip in (False, True)
+        ]
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].path_len), np.asarray(outs[1].path_len))
+        for ch in ("x", "y", "z"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs[0].radiance, ch)),
+                np.asarray(getattr(outs[1].radiance, ch)),
+                rtol=rtol, atol=atol)
+    # The enclosed scene really exercises the skip: nothing escapes.
+    st = trace_sample_with_uniforms(
+        enclosed, base[2], base[1], base[4], base[5],
+        jnp.asarray(base[6][0, 0:2]), jnp.asarray(base[6][0, 2:4]),
+        jnp.asarray(base[6][0, 4:].reshape(MAXLEN, 4, base[4].shape[0])),
+    )
+    assert float((st.esc_w.x + st.esc_w.y + st.esc_w.z).sum()) == 0.0
+
+
 def test_megastep_dof_parity():
     """Thin-lens DoF through the fused step replays the XLA chain (the
     lens uniforms are noise rows 2:4 in both)."""
