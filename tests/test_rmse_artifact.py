@@ -2,17 +2,24 @@
 
 The checked-in docs/RMSE.json entries are produced by the same
 run_config() driven here, so the artifact path cannot silently rot
-(r3 verdict item 8).  The north-star config (64x64 @ 1000 spp, the
-"<= 1e-3 at 1k spp" BASELINE criterion) runs in full, marked slow.
+(r3 verdict item 8).  The north-star ARTIFACT is 512x512 @ 1000 spp
+(the "<= 1e-3 at 1k spp" BASELINE criterion at a non-trivial frame,
+r3 verdict weak-5); re-running that in every suite invocation would
+cost ~45 min of the 1-core CI budget, so the slow test pins the exact
+same pipeline (same config, criterion and spp) at 128x128 and the fast
+test validates the checked-in full-frame entry's claims.  The artifact
+itself is regenerated with `python scripts/validate_rmse.py north_star`.
 """
 
 import importlib.util
+import json
 import os
 import pathlib
 
 import pytest
 
 _SCRIPT = pathlib.Path(__file__).parent.parent / "scripts" / "validate_rmse.py"
+_ARTIFACT = _SCRIPT.parent.parent / "docs" / "RMSE.json"
 
 
 def _load_module():
@@ -24,26 +31,33 @@ def _load_module():
 
 @pytest.mark.slow
 def test_north_star_rmse_at_1k_spp():
+    """The north-star pipeline at full 1000 spp (frame shrunk for CI)."""
     mod = _load_module()
-    entry = mod.run_config("north_star")
+    entry = mod.run_config("north_star", size_override=(128, 128))
     assert entry["pass"], entry
     assert entry["rmse_absolute"] <= 1e-3  # the BASELINE bound, un-normalised
-    assert entry["spp"] == 1000 and entry["width"] == 64
+    assert entry["spp"] == 1000 and entry["width"] == 128
+
+
+def test_north_star_artifact_is_full_frame():
+    """The checked-in artifact entry must be the real 512x512 @ 1k spp
+    run (exact stream replay, absolute criterion) and must pass it."""
+    entries = json.load(open(_ARTIFACT))
+    entry = {e["config"]: e for e in entries}["north_star"]
+    assert entry["width"] >= 512 and entry["height"] >= 512, entry
+    assert entry["spp"] == 1000
+    assert entry["pass"] and entry["rmse_absolute"] <= 1e-3, entry
 
 
 def test_rmse_config_list_covers_baseline():
     """Every BASELINE accuracy config has a runnable entry, and the
-    checked-in artifact (when present) covers them all with passes."""
+    checked-in artifact covers them all with passes."""
     mod = _load_module()
     assert set(mod.CONFIGS) == {
         "north_star", "config1_diffuse", "config2_texture", "config3_nif"
     }
-    artifact = _SCRIPT.parent.parent / "docs" / "RMSE.json"
-    if artifact.exists():
-        import json
-
-        entries = json.load(open(artifact))
-        by_name = {e["config"]: e for e in entries}
-        for name in mod.CONFIGS:
-            assert name in by_name, f"docs/RMSE.json missing {name}"
-            assert by_name[name]["pass"], by_name[name]
+    entries = json.load(open(_ARTIFACT))
+    by_name = {e["config"]: e for e in entries}
+    for name in mod.CONFIGS:
+        assert name in by_name, f"docs/RMSE.json missing {name}"
+        assert by_name[name]["pass"], by_name[name]
