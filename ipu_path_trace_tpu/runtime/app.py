@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..core.records import from_device_batch, to_device_batch
 from ..core.scene import default_scene
-from ..film.film import Film
+from ..film.film import Film, tone_map
 from ..film.imageio import save_images
 from ..models.envlight import ConstantEnv, NifEnv, TextureEnv
 from ..models.nif import analyse_nif, load_nif_assets
@@ -129,6 +129,9 @@ class PathTracerApp:
         self.balancer: LoadBalancer | None = None
         self.samples_per_step = config.samples_per_step
         self.interactive = False
+        # --denoise guide-buffer cache, keyed on the live fov (the UI can
+        # change fov mid-run; scene geometry is fixed per process):
+        self._denoise_cache: tuple[float, dict] | None = None
         # Set by a SIGTERM/SIGINT handler (runtime/cli.py): the render
         # loop finishes the in-flight step, then takes the normal exit
         # path - final fetch, exit image save, checkpoint.  Preemption
@@ -218,6 +221,36 @@ class PathTracerApp:
                 )
             return samples_per_step // sm
         return samples_per_step
+
+    def _save_films(self, film: Film, n: int, state: dict) -> None:
+        """Write the -o outputs for the film normalised at step ``n``.
+
+        With --denoise the saved HDR and LDR are the à-trous-filtered
+        image (film/denoise.py); the accumulator itself is never touched,
+        so later saves refine from the raw Monte-Carlo state.
+        """
+        cfg = self.cfg
+        hdr = film.hdr_at_step(n)
+        if cfg.denoise:
+            import math
+
+            from ..film.denoise import denoise_hdr, primary_features
+
+            fov = float(state["fov"])
+            if self._denoise_cache is None or self._denoise_cache[0] != fov:
+                host_scene = jax.tree.map(np.asarray, self.scene)
+                with self.trace.span("denoise_guides"):
+                    guides = primary_features(
+                        host_scene, cfg.width, cfg.height, math.radians(fov))
+                self._denoise_cache = (fov, guides)
+            with self.trace.span("denoise"):
+                hdr = denoise_hdr(hdr, self._denoise_cache[1],
+                                  iterations=cfg.denoise_iters,
+                                  sigma_colour=cfg.denoise_sigma)
+            ldr = tone_map(hdr, 1, state["exposure"], state["gamma"])
+        else:
+            ldr = film.ldr(n, state["exposure"], state["gamma"])
+        save_images(cfg.outfile, hdr, ldr)
 
     def settings(self, samples_per_step: int, fov_deg=None, env_rot_deg=None) -> RenderSettings:
         cfg = self.cfg
@@ -735,11 +768,7 @@ class PathTracerApp:
                         else:
                             with self.trace.span("save_images"):
                                 disk_pending["norm"] = 0
-                                save_images(
-                                    cfg.outfile,
-                                    film.hdr_at_step(1),
-                                    film.ldr(1, state["exposure"], state["gamma"]),
-                                )
+                                self._save_films(film, 1, state)
                                 logger().info("Saved images at step %d", step)
 
                     host.run(device_film_processing)
@@ -798,11 +827,7 @@ class PathTracerApp:
                     else:
                         with self.trace.span("save_images"):
                             disk_pending["norm"] = 0
-                            save_images(
-                                cfg.outfile,
-                                film.hdr_at_step(step),
-                                film.ldr(step, state["exposure"], state["gamma"]),
-                            )
+                            self._save_films(film, step, state)
                             logger().info("Saved images at step %d", step)
 
             host.run(host_processing)
@@ -858,11 +883,7 @@ class PathTracerApp:
         if disk_pending["norm"] > 0:
             n = disk_pending["norm"]
             with self.trace.span("save_images"):
-                save_images(
-                    cfg.outfile,
-                    film.hdr_at_step(n),
-                    film.ldr(n, state["exposure"], state["gamma"]),
-                )
+                self._save_films(film, n, state)
                 logger().info("Saved images at exit (step %d)", n)
         if cfg.profile_dir:
             jax.profiler.stop_trace()

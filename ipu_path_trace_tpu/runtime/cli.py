@@ -181,6 +181,19 @@ def build_parser() -> argparse.ArgumentParser:
                           "dimensions ride the Sobol sequence (camera 4 + 4 "
                           "per bounce; rounded down to whole bounces, prng "
                           "beyond).")
+    tpu.add_argument("--denoise", action="store_true", default=False,
+                     help="Filter SAVED images with the edge-avoiding a-trous "
+                          "wavelet denoiser (primary-hit albedo/normal/depth "
+                          "guides, film/denoise.py).  Post-process only: the "
+                          "accumulator stays raw, so progressive refinement "
+                          "remains unbiased (docs/DENOISE.json).")
+    tpu.add_argument("--denoise-iters", type=int, default=4,
+                     help="A-trous dilation passes for --denoise (filter "
+                          "radius 2^n pixels).")
+    tpu.add_argument("--denoise-sigma", type=float, default=1.0,
+                     help="Log-luminance edge-stop sigma for --denoise: "
+                          "lower keeps more detail, higher smooths harder "
+                          "(~0.5 near-converged, ~2 very noisy previews).")
     return p
 
 
@@ -241,6 +254,9 @@ def parse_config(argv=None) -> Config:
         adaptive_max_factor=args.adaptive_max_factor,
         sampler=args.sampler,
         sobol_dims=args.sobol_dims,
+        denoise=args.denoise,
+        denoise_iters=args.denoise_iters,
+        denoise_sigma=args.denoise_sigma,
     )
     cfg.validate()
     return cfg

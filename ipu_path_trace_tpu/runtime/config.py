@@ -133,6 +133,18 @@ class Config:
     # progressive steps, checkpoints, meshes and --adaptive.
     sampler: str = "prng"  # prng | sobol
     sobol_dims: int = 12  # camera (4) + whole bounces (4 each)
+    # À-trous wavelet denoiser (film/denoise.py): filter SAVED images
+    # with primary-hit guide buffers (albedo demodulation, normal +
+    # disparity edge stopping).  A pure post-process on the save path -
+    # the accumulator is untouched, so progressive refinement stays
+    # unbiased and later saves start from the true Monte-Carlo state.
+    # The reference saves the raw film only (AccumulatedImage.cpp:48-56).
+    denoise: bool = False
+    denoise_iters: int = 4  # à-trous dilation passes (filter radius 2^n)
+    # Log-luminance edge-stop sigma: lower preserves more detail, higher
+    # smooths harder (measured sweet spots: ~0.5 near-converged frames,
+    # ~2 very noisy previews - docs/DENOISE.json):
+    denoise_sigma: float = 1.0
     # (knee of the measured efficiency curve: 2x->2.0x, 4x->3.2x, 16x->5.0x,
     #  32x->6.1x, 64x->6.5x sample efficiency; docs/ADAPTIVE.json knob_sweep)
     # Deterministic-replay / test knob (no CLI flag): > 0 runs the
@@ -178,6 +190,11 @@ class Config:
                              "(choices: prng, sobol)")
         if self.sampler == "sobol" and self.sobol_dims < 4:
             raise ValueError("--sobol-dims must be >= 4 (the camera dims)")
+        if self.denoise_iters < 1 or self.denoise_iters > 8:
+            raise ValueError("--denoise-iters must be in [1, 8] "
+                             "(filter radius grows as 2^n)")
+        if self.denoise_sigma <= 0.0:
+            raise ValueError("--denoise-sigma must be > 0")
         if self.adaptive:
             if not self.device_film:
                 raise ValueError(

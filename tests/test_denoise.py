@@ -1,0 +1,170 @@
+"""À-trous denoiser (film/denoise.py): guides, filter properties, wiring.
+
+The denoiser is a pure post-process beyond the reference's feature set
+(the reference saves the raw film, src/AccumulatedImage.cpp:48-56), so
+there is no oracle to replay against; instead the tests pin the
+properties that make it safe and useful: guide correctness against the
+scene definition, large variance reduction on flat regions, edge
+preservation across guide boundaries, exact albedo (de)modulation, and
+that --denoise only changes SAVED images, never the accumulator.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from ipu_path_trace_tpu.core.scene import Material, default_scene
+from ipu_path_trace_tpu.film.denoise import denoise_hdr, primary_features
+
+W = H = 64
+FOV = math.radians(90.0)
+
+
+@pytest.fixture(scope="module")
+def guides():
+    return primary_features(default_scene(), W, H, FOV)
+
+
+def test_primary_features_match_scene(guides):
+    scene = default_scene()
+    # Top corners look above the horizon: sky (no object up there).
+    assert guides["disparity"][0, 0] == 0.0
+    assert guides["disparity"][0, W - 1] == 0.0
+    np.testing.assert_allclose(guides["albedo"][0, 0], 1.0)
+    # Sky normals are the (unit) ray directions.
+    assert abs(np.linalg.norm(guides["normal"][0, 0]) - 1.0) < 1e-5
+    # The central pixel hits the middle mirror sphere: albedo 1 (not
+    # demodulated - SPECULAR), valid disparity.
+    cy, cx = H // 2, W // 2
+    assert guides["disparity"][cy, cx] > 0.0
+    np.testing.assert_allclose(guides["albedo"][cy, cx], 1.0)
+    # Floor pixels (diffuse) demodulate with the floor colour
+    # (codelets.cpp:127-130 gain baked in) and carry the +y disc normal.
+    floor_rgb = np.asarray(scene.colour)[-1]
+    assert int(np.asarray(scene.material)[-1]) == int(Material.DIFFUSE)
+    floor_mask = np.all(np.abs(guides["albedo"] - floor_rgb) < 1e-5, axis=-1)
+    assert floor_mask.sum() > 50  # the floor is visible
+    np.testing.assert_allclose(
+        guides["normal"][floor_mask],
+        np.tile([0.0, 1.0, 0.0], (int(floor_mask.sum()), 1)), atol=1e-6)
+    assert (guides["disparity"][floor_mask] > 0.0).all()
+
+
+def test_flat_region_variance_reduction(guides):
+    rng = np.random.default_rng(3)
+    clean = np.full((H, W, 3), 0.8, np.float32) * guides["albedo"]
+    noisy = clean + (rng.normal(0, 0.25, (H, W, 3)).astype(np.float32)
+                     * guides["albedo"])
+    out = denoise_hdr(noisy, guides)
+    rms_in = float(np.sqrt(np.mean((noisy - clean) ** 2)))
+    rms_out = float(np.sqrt(np.mean((out - clean) ** 2)))
+    assert rms_out < 0.35 * rms_in, (rms_in, rms_out)
+    assert out.shape == clean.shape and out.dtype == np.float32
+
+
+def test_edge_preserved_across_guide_boundary():
+    """A radiance step co-located with a normal+depth edge must survive."""
+    rng = np.random.default_rng(5)
+    half = W // 2
+    clean = np.zeros((H, W, 3), np.float32)
+    clean[:, :half] = 0.2
+    clean[:, half:] = 2.0
+    guides = {
+        "albedo": np.ones((H, W, 3), np.float32),
+        "normal": np.zeros((H, W, 3), np.float32),
+        "disparity": np.zeros((H, W), np.float32),
+    }
+    guides["normal"][:, :half, 0] = 1.0
+    guides["normal"][:, half:, 1] = 1.0
+    guides["disparity"][:, :half] = 0.5
+    guides["disparity"][:, half:] = 0.05
+    noisy = clean + rng.normal(0, 0.1, (H, W, 3)).astype(np.float32)
+    out = denoise_hdr(noisy, guides)
+    # Means per side preserved (no bleed across the edge):
+    assert abs(float(out[:, : half - 4].mean()) - 0.2) < 0.02
+    assert abs(float(out[:, half + 4:].mean()) - 2.0) < 0.05
+    # The step itself stays sharp: adjacent columns at the boundary.
+    step = float(out[:, half].mean() - out[:, half - 1].mean())
+    assert step > 1.4, step
+
+
+def test_albedo_demodulation_exact(guides):
+    """denoise(albedo * c) == albedo * denoise_flat(c): texture detail in
+    the albedo costs nothing."""
+    rng = np.random.default_rng(7)
+    base = (0.5 + rng.normal(0, 0.1, (H, W, 3))).astype(np.float32)
+    flat_guides = dict(guides, albedo=np.ones((H, W, 3), np.float32))
+    out_flat = denoise_hdr(base, flat_guides)
+    out_mod = denoise_hdr(base * guides["albedo"], guides)
+    np.testing.assert_allclose(out_mod, out_flat * guides["albedo"],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_denoise_deterministic(guides):
+    rng = np.random.default_rng(11)
+    img = rng.random((H, W, 3), np.float32)
+    a = denoise_hdr(img, guides, iterations=2)
+    b = denoise_hdr(img, guides, iterations=2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cli_denoise_end_to_end(tmp_path):
+    """--denoise writes filtered outputs; the accumulator stays the raw
+    Monte-Carlo state.  Uses the caustic scene so the 8 spp preview has
+    real noise to remove."""
+    import pathlib
+
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+    from ipu_path_trace_tpu.runtime.cli import parse_config
+
+    scene_json = str(pathlib.Path(__file__).parent.parent
+                     / "assets" / "scenes" / "glass_caustic.json")
+    out = tmp_path / "img.png"
+    raw_out = tmp_path / "raw.png"
+
+    def run(outfile, extra):
+        cfg = parse_config([
+            "-o", str(outfile), "-w", "48", "--height", "48",
+            "-s", "8", "--samples-per-step", "8", "--scene", scene_json,
+            "--assets", "constant:0.6,0.5,0.4", "--seed", "3",
+        ] + extra)
+        app = PathTracerApp(cfg)
+        app.init()
+        app.build()
+        return app.execute()
+
+    film_raw = run(raw_out, [])
+    film_dn = run(out, ["--denoise", "--denoise-iters", "2"])
+    # Accumulators identical: denoise is save-path only.
+    np.testing.assert_array_equal(film_raw.hdr, film_dn.hdr)
+    hdr_raw = read_exr(str(raw_out.with_suffix(".exr")))
+    hdr_dn = read_exr(str(out.with_suffix(".exr")))
+    assert hdr_dn.shape == hdr_raw.shape
+    assert np.isfinite(hdr_dn).all()
+    assert not np.array_equal(hdr_dn, hdr_raw)  # the filter did something
+    # The filter must reduce Monte-Carlo noise where there is some.  The
+    # win is on the DISPLAYED image (linear-HDR metrics are dominated by
+    # a handful of caustic fireflies the edge-stop rightly isolates), so
+    # measure high-frequency energy after the reference tone map:
+    from ipu_path_trace_tpu.film.film import tone_map
+
+    def hf_energy(hdr):
+        reg = tone_map(hdr, 1, 0.0, 2.2).astype(np.float32)[16:] / 255.0
+        m = (reg[:-2, :-2] + reg[:-2, 1:-1] + reg[:-2, 2:]
+             + reg[1:-1, :-2] + reg[1:-1, 1:-1] + reg[1:-1, 2:]
+             + reg[2:, :-2] + reg[2:, 1:-1] + reg[2:, 2:]) / 9.0
+        return float(np.sqrt(np.mean((reg[1:-1, 1:-1] - m) ** 2)))
+
+    assert hf_energy(hdr_dn) < 0.6 * hf_energy(hdr_raw)
+    lo_raw, lo_dn = hdr_raw[24:], hdr_dn[24:]
+    assert abs(float(lo_dn.mean() - lo_raw.mean())) < 0.05 * float(lo_raw.mean())
+
+
+def test_denoise_iters_validated():
+    from ipu_path_trace_tpu.runtime.cli import parse_config
+
+    with pytest.raises(ValueError):
+        parse_config(["--assets", "constant:1,1,1", "--denoise-iters", "0",
+                      "-o", "x.png"])
