@@ -59,13 +59,25 @@ def _cpu_device():
     return jax.local_devices(backend="cpu")[0]
 
 
-def primary_features(scene, width: int, height: int, fov):
+def primary_features(scene, width: int, height: int, fov,
+                     env=None, azimuth: float = 0.0,
+                     max_batch: int = 200_000):
     """Deterministic per-pixel guide buffers from pixel-centre rays.
 
     Returns dict of float32 numpy arrays:
-      albedo    (H, W, 3)  primary-hit colour for DIFFUSE hits, else 1
+      albedo    (H, W, 3)  primary-hit colour for DIFFUSE hits; the env
+                           radiance along the centre ray for ESCAPED
+                           pixels (when ``env`` is given); else 1
       normal    (H, W, 3)  unit shading normal (escaped: the ray dir)
       disparity (H, W)     1 / (1 + hit distance); 0 for sky
+
+    The env-as-albedo trick is what preserves environment detail: an
+    escaped primary's converged value IS env(direction) (a deterministic
+    quantity — the render only adds AA-kernel integration), so
+    demodulating by it flattens the sky before filtering and restores
+    the texture bit-sharp after.  ``azimuth`` is the env rotation in
+    radians (RenderSettings.azimuth); ``max_batch`` bounds the NIF
+    evaluation chunk (the --max-nif-batch-size analog).
 
     fov is in radians (the camera convention of render/wavefront.py:345).
     Uses the pinhole centre ray even under thin-lens DoF — guides only
@@ -73,8 +85,10 @@ def primary_features(scene, width: int, height: int, fov):
     preserved.
     """
     from ..core.camera import pixel_to_ray
+    from ..core.envmap import equirect_uv
     from ..core.geometry import intersect_scene
     from ..core.scene import Material
+    from ..core.vecmath import Vec3
 
     def features(scene):
         v, u = jnp.meshgrid(
@@ -84,8 +98,6 @@ def primary_features(scene, width: int, height: int, fov):
         )
         d = pixel_to_ray(u.ravel(), v.ravel(), width, height,
                          jnp.float32(fov)).normalized()
-        from ..core.vecmath import Vec3
-
         hit = intersect_scene(scene, Vec3.zeros(d.x.shape), d)
         diffuse = hit.valid & (hit.material == int(Material.DIFFUSE))
         one = jnp.ones_like(hit.colour.x)
@@ -98,12 +110,30 @@ def primary_features(scene, width: int, height: int, fov):
              jnp.where(hit.valid, hit.normal.y, d.y),
              jnp.where(hit.valid, hit.normal.z, d.z)], axis=-1)
         disparity = jnp.where(hit.valid, 1.0 / (1.0 + hit.t), _SKY_DISPARITY)
-        return albedo, normal, disparity
+        uv = equirect_uv(d, jnp.float32(azimuth))
+        return albedo, normal, disparity, hit.valid, uv[0], uv[1]
 
-    scene = jax.device_put(scene, _cpu_device())
-    albedo, normal, disparity = jax.jit(features)(scene)
+    cpu = _cpu_device()
+    scene = jax.device_put(scene, cpu)
+    albedo, normal, disparity, valid, eu, ev = jax.jit(features)(scene)
+    albedo = np.array(albedo)  # writable copy (np.asarray of a jax array is read-only)
+    if env is not None:
+        from ..models.envlight import eval_env
+
+        env = jax.device_put(env, cpu)
+        sky = ~np.asarray(valid)
+        idx = np.nonzero(sky)[0]
+        eu_np, ev_np = np.asarray(eu), np.asarray(ev)
+        rad = np.empty((len(idx), 3), np.float32)
+        fn = jax.jit(lambda e, a, b: eval_env(e, a, b, use_pallas=False))
+        for s in range(0, len(idx), max_batch):
+            sel = idx[s:s + max_batch]
+            r = fn(env, jnp.asarray(eu_np[sel]), jnp.asarray(ev_np[sel]))
+            rad[s:s + max_batch] = np.stack(
+                [np.asarray(r.x), np.asarray(r.y), np.asarray(r.z)], -1)
+        albedo[idx] = rad
     return {
-        "albedo": np.asarray(albedo).reshape(height, width, 3),
+        "albedo": albedo.reshape(height, width, 3),
         "normal": np.asarray(normal).reshape(height, width, 3),
         "disparity": np.asarray(disparity).reshape(height, width),
     }

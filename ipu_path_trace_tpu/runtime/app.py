@@ -129,9 +129,10 @@ class PathTracerApp:
         self.balancer: LoadBalancer | None = None
         self.samples_per_step = config.samples_per_step
         self.interactive = False
-        # --denoise guide-buffer cache, keyed on the live fov (the UI can
-        # change fov mid-run; scene geometry is fixed per process):
-        self._denoise_cache: tuple[float, dict] | None = None
+        # --denoise guide-buffer cache, keyed on (fov, env rotation,
+        # assets) - the UI can change all three mid-run; scene geometry
+        # is fixed per process:
+        self._denoise_cache: tuple[tuple, dict] | None = None
         # Set by a SIGTERM/SIGINT handler (runtime/cli.py): the render
         # loop finishes the in-flight step, then takes the normal exit
         # path - final fetch, exit image save, checkpoint.  Preemption
@@ -236,13 +237,20 @@ class PathTracerApp:
 
             from ..film.denoise import denoise_hdr, primary_features
 
-            fov = float(state["fov"])
-            if self._denoise_cache is None or self._denoise_cache[0] != fov:
+            # Guides change with camera fov, env rotation (the sky albedo
+            # is the env radiance along the centre ray) and env hot-swaps:
+            key = (float(state["fov"]), float(state["env_rotation"]),
+                   self.active_assets)
+            if self._denoise_cache is None or self._denoise_cache[0] != key:
                 host_scene = jax.tree.map(np.asarray, self.scene)
+                host_env = jax.tree.map(np.asarray, self.env)
                 with self.trace.span("denoise_guides"):
                     guides = primary_features(
-                        host_scene, cfg.width, cfg.height, math.radians(fov))
-                self._denoise_cache = (fov, guides)
+                        host_scene, cfg.width, cfg.height,
+                        math.radians(key[0]), env=host_env,
+                        azimuth=math.radians(key[1]),
+                        max_batch=cfg.max_nif_batch_size)
+                self._denoise_cache = (key, guides)
             with self.trace.span("denoise"):
                 hdr = denoise_hdr(hdr, self._denoise_cache[1],
                                   iterations=cfg.denoise_iters,

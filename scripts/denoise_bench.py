@@ -88,7 +88,7 @@ def run_scene(name: str, scene, env) -> dict:
     print(f"[{name}] ground truth {GT_SPP} spp in "
           f"{time.monotonic() - t0:.0f}s", file=sys.stderr)
 
-    guides = primary_features(scene, W, H, math.radians(FOV))
+    guides = primary_features(scene, W, H, math.radians(FOV), env=env)
 
     # --- preview curve ---
     work = to_device_batch(wl)

@@ -51,6 +51,42 @@ def test_primary_features_match_scene(guides):
     assert (guides["disparity"][floor_mask] > 0.0).all()
 
 
+def test_env_albedo_guides_preserve_sky_detail():
+    """With env=... the escaped-primary albedo is the env radiance, so a
+    textured sky demodulates to ~flat and survives filtering bit-sharp,
+    where the flat-albedo guide blurs it."""
+    import jax.numpy as jnp
+
+    from ipu_path_trace_tpu.models.envlight import ConstantEnv, TextureEnv
+
+    scene = default_scene()
+    c = np.asarray([0.5, 0.25, 0.125], np.float32)
+    g_const = primary_features(scene, W, H, FOV, env=ConstantEnv(
+        colour=jnp.asarray(c)))
+    sky = g_const["disparity"] == 0.0
+    assert sky.any()
+    np.testing.assert_allclose(g_const["albedo"][sky],
+                               np.tile(c, (int(sky.sum()), 1)), rtol=1e-6)
+
+    # High-contrast checker env: denoise a noisy render-alike and check
+    # the sky pattern survives with env guides but not without.
+    rng = np.random.default_rng(13)
+    tex = np.where((np.indices((32, 64)).sum(axis=0) % 2)[..., None] > 0,
+                   4.0, 0.25).astype(np.float32) * np.ones(3, np.float32)
+    g_tex = primary_features(scene, W, H, FOV,
+                             env=TextureEnv(texture=jnp.asarray(tex)))
+    clean = g_tex["albedo"].copy()  # converged sky = env radiance
+    noisy = clean * (1.0 + rng.normal(0, 0.3, clean.shape).astype(np.float32))
+    out_guided = denoise_hdr(noisy, g_tex, sigma_colour=2.0)
+    out_flat = denoise_hdr(noisy, dict(g_tex, albedo=np.ones_like(clean)),
+                           sigma_colour=2.0)
+    err_guided = float(np.sqrt(np.mean((out_guided[sky] - clean[sky]) ** 2)))
+    err_flat = float(np.sqrt(np.mean((out_flat[sky] - clean[sky]) ** 2)))
+    err_raw = float(np.sqrt(np.mean((noisy[sky] - clean[sky]) ** 2)))
+    assert err_guided < 0.5 * err_raw, (err_guided, err_raw)
+    assert err_guided < 0.7 * err_flat, (err_guided, err_flat)
+
+
 def test_flat_region_variance_reduction(guides):
     rng = np.random.default_rng(3)
     clean = np.full((H, W, 3), 0.8, np.float32) * guides["albedo"]
@@ -160,6 +196,30 @@ def test_cli_denoise_end_to_end(tmp_path):
     assert hf_energy(hdr_dn) < 0.6 * hf_energy(hdr_raw)
     lo_raw, lo_dn = hdr_raw[24:], hdr_dn[24:]
     assert abs(float(lo_dn.mean() - lo_raw.mean())) < 0.05 * float(lo_raw.mean())
+
+
+def test_denoise_with_device_film(tmp_path):
+    """--denoise composes with --device-film (the fetch-at-save path
+    goes through the same _save_films helper)."""
+    from ipu_path_trace_tpu.film.imageio import read_exr
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+    from ipu_path_trace_tpu.runtime.cli import parse_config
+
+    out = tmp_path / "df.png"
+    cfg = parse_config([
+        "-o", str(out), "-w", "48", "--height", "48",
+        "-s", "8", "--samples-per-step", "8", "--device-film",
+        "--assets", "constant:0.6,0.5,0.4", "--seed", "3",
+        "--denoise", "--denoise-iters", "2",
+    ])
+    app = PathTracerApp(cfg)
+    app.init()
+    app.build()
+    film = app.execute()
+    hdr = read_exr(str(out.with_suffix(".exr")))
+    assert np.isfinite(hdr).all() and hdr.shape == (48, 48, 3)
+    # Saved image is the filtered one, accumulator is raw:
+    assert not np.array_equal(hdr, film.hdr_at_step(1))
 
 
 def test_denoise_iters_validated():
