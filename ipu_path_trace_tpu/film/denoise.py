@@ -191,22 +191,47 @@ def _atrous(c, normal, disparity, iterations,
     return out
 
 
+@jax.jit
+def _firefly_clamp(c, k):
+    """Scale each pixel's rgb so its luminance is <= k x the 3x3
+    neighbourhood median luminance (the standard spatial outlier
+    suppressor: a firefly is a single-pixel outlier against its
+    neighbours; real highlights span several pixels, so their own
+    median is bright and they pass through)."""
+    lum_w = jnp.asarray([0.2126, 0.7152, 0.0722], c.dtype)
+    lum = c @ lum_w
+    stack = jnp.stack([_shift(lum, dy, dx)
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    med = jnp.sort(stack, axis=0)[4]
+    cap = k * med + 1e-6
+    scale = jnp.minimum(1.0, cap / jnp.maximum(lum, 1e-20))
+    return c * scale[..., None]
+
+
 def denoise_hdr(hdr: np.ndarray, guides: dict, *, iterations: int = 4,
                 sigma_colour: float = 1.0, sigma_normal: float = 64.0,
-                sigma_depth: float = 0.08) -> np.ndarray:
+                sigma_depth: float = 0.08,
+                firefly_clamp: float = 10.0) -> np.ndarray:
     """Denoise a step-normalised HDR image (H, W, 3) -> same shape/dtype.
 
     ``guides`` is the dict from :func:`primary_features` for the same
     scene/camera.  Albedo is demodulated before filtering and restored
-    after, so texture edges cost nothing.  Defaults were measured by
-    ``scripts/denoise_bench.py`` (docs/DENOISE.json).
+    after, so texture edges cost nothing.  ``firefly_clamp`` k bounds
+    each pixel's luminance to k x its 3x3 neighbourhood median before
+    the wavelet pass (0 disables) — rarely-sampled point reflections of
+    extreme HDR emitters otherwise survive the edge-stop as 'detail'.
+    Defaults were measured by ``scripts/denoise_bench.py``
+    (docs/DENOISE.json).
     """
     hdr = np.asarray(hdr, np.float32)
     albedo = np.maximum(guides["albedo"].astype(np.float32), 1e-3)
     demod = hdr / albedo
     cpu = _cpu_device()
+    demod = jax.device_put(jnp.asarray(demod), cpu)
+    if firefly_clamp > 0.0:
+        demod = _firefly_clamp(demod, jnp.float32(firefly_clamp))
     filtered = _atrous(
-        jax.device_put(jnp.asarray(demod), cpu),
+        demod,
         jax.device_put(jnp.asarray(guides["normal"].astype(np.float32)), cpu),
         jax.device_put(jnp.asarray(guides["disparity"].astype(np.float32)), cpu),
         int(iterations),

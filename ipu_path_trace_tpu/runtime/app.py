@@ -254,7 +254,8 @@ class PathTracerApp:
             with self.trace.span("denoise"):
                 hdr = denoise_hdr(hdr, self._denoise_cache[1],
                                   iterations=cfg.denoise_iters,
-                                  sigma_colour=cfg.denoise_sigma)
+                                  sigma_colour=cfg.denoise_sigma,
+                                  firefly_clamp=cfg.denoise_clamp)
             ldr = tone_map(hdr, 1, state["exposure"], state["gamma"])
         else:
             ldr = film.ldr(n, state["exposure"], state["gamma"])

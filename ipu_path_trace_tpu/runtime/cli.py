@@ -194,6 +194,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Log-luminance edge-stop sigma for --denoise: "
                           "lower keeps more detail, higher smooths harder "
                           "(~0.5 near-converged, ~2 very noisy previews).")
+    tpu.add_argument("--denoise-clamp", type=float, default=10.0,
+                     help="Firefly suppressor for --denoise: clamp each "
+                          "pixel's luminance to k x its 3x3 neighbourhood "
+                          "median before filtering (0 disables).")
     return p
 
 
@@ -257,6 +261,7 @@ def parse_config(argv=None) -> Config:
         denoise=args.denoise,
         denoise_iters=args.denoise_iters,
         denoise_sigma=args.denoise_sigma,
+        denoise_clamp=args.denoise_clamp,
     )
     cfg.validate()
     return cfg

@@ -145,6 +145,11 @@ class Config:
     # smooths harder (measured sweet spots: ~0.5 near-converged frames,
     # ~2 very noisy previews - docs/DENOISE.json):
     denoise_sigma: float = 1.0
+    # Firefly suppressor inside --denoise: luminance clamped to k x the
+    # 3x3 neighbourhood median (demodulated domain) before the wavelet
+    # pass; 0 disables.  Point reflections of extreme HDR emitters are
+    # single-pixel outliers the edge-stop otherwise keeps as 'detail'.
+    denoise_clamp: float = 10.0
     # (knee of the measured efficiency curve: 2x->2.0x, 4x->3.2x, 16x->5.0x,
     #  32x->6.1x, 64x->6.5x sample efficiency; docs/ADAPTIVE.json knob_sweep)
     # Deterministic-replay / test knob (no CLI flag): > 0 runs the
@@ -195,6 +200,8 @@ class Config:
                              "(filter radius grows as 2^n)")
         if self.denoise_sigma <= 0.0:
             raise ValueError("--denoise-sigma must be > 0")
+        if self.denoise_clamp < 0.0:
+            raise ValueError("--denoise-clamp must be >= 0 (0 disables)")
         if self.adaptive:
             if not self.device_film:
                 raise ValueError(

@@ -137,6 +137,25 @@ def test_albedo_demodulation_exact(guides):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_firefly_clamp_kills_outliers_keeps_highlights(guides):
+    """A single-pixel 1e4 outlier is suppressed; a 5x5 true highlight
+    (its own neighbourhood median is bright) passes through."""
+    flat_guides = {
+        "albedo": np.ones((H, W, 3), np.float32),
+        "normal": np.tile(np.float32([0, 0, 1]), (H, W, 1)),
+        "disparity": np.full((H, W), 0.3, np.float32),
+    }
+    img = np.full((H, W, 3), 1.0, np.float32)
+    img[10, 10] = 1e4  # firefly
+    img[30:35, 30:35] = 500.0  # real highlight block
+    out = denoise_hdr(img, flat_guides, iterations=1)
+    assert out[10, 10].max() < 50.0, out[10, 10]  # ~10x median, not 1e4
+    assert out[32, 32].max() > 250.0, out[32, 32]  # highlight survives
+    # With the clamp off the firefly survives (edge-stop isolates it):
+    out_off = denoise_hdr(img, flat_guides, iterations=1, firefly_clamp=0.0)
+    assert out_off[10, 10].max() > 1e3
+
+
 def test_denoise_deterministic(guides):
     rng = np.random.default_rng(11)
     img = rng.random((H, W, 3), np.float32)
