@@ -75,6 +75,38 @@ def _device_preview(work, perm, exposure, gamma, *, width, height):
     return out.reshape(height, width, 3)
 
 
+@_partial(
+    jax.jit,
+    static_argnames=("width", "height", "iterations"),
+)
+def _device_preview_denoised(work, perm, exposure, gamma,
+                             albedo, normal, disparity,
+                             sigma_colour, clamp, *,
+                             width, height, iterations):
+    """Denoised LDR preview computed ON DEVICE (device-film + UI +
+    --denoise): the same gather/mean as _device_preview, then the
+    à-trous filter (film/denoise.py) on the resident film - the filter
+    is pure XLA, so at interactive step sizes the denoise rides the TPU
+    for free and the preview stream shows the FILTERED image live.
+    Guides are uploaded once per (fov, rotation, assets) key."""
+    from ..film.denoise import _atrous, _firefly_clamp
+
+    cnt = jnp.maximum(work.sample_count, 1).astype(jnp.float32)
+    inv = jnp.where(work.sample_count > 0, 1.0 / cnt, 0.0)
+    r = (work.r * inv)[perm]
+    g = (work.g * inv)[perm]
+    b = (work.b * inv)[perm]
+    hdr = jnp.stack([r, g, b], axis=-1).reshape(height, width, 3)
+    demod = hdr / albedo
+    demod = jnp.where(clamp > 0.0, _firefly_clamp(demod, clamp), demod)
+    filtered = _atrous(demod, normal, disparity, iterations,
+                       sigma_colour, jnp.float32(64.0), jnp.float32(0.08))
+    rgb = filtered * albedo
+    scaled = jnp.maximum(rgb * jnp.exp2(exposure), 0.0)
+    ldr = jnp.power(scaled, 1.0 / gamma)
+    return jnp.clip(jnp.rint(ldr * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
 def parse_env_assets(assets: str, partials_type: str = "half"):
     """Build the environment light from the --assets argument.
 
@@ -131,8 +163,10 @@ class PathTracerApp:
         self.interactive = False
         # --denoise guide-buffer cache, keyed on (fov, env rotation,
         # assets) - the UI can change all three mid-run; scene geometry
-        # is fixed per process:
+        # is fixed per process.  _preview_guides holds device copies for
+        # the on-device denoised preview (device-film + UI):
         self._denoise_cache: tuple[tuple, dict] | None = None
+        self._preview_guides: tuple | None = None
         # Set by a SIGTERM/SIGINT handler (runtime/cli.py): the render
         # loop finishes the in-flight step, then takes the normal exit
         # path - final fetch, exit image save, checkpoint.  Preemption
@@ -223,6 +257,31 @@ class PathTracerApp:
             return samples_per_step // sm
         return samples_per_step
 
+    def _guides(self, state: dict) -> dict:
+        """--denoise guide buffers for the CURRENT camera/env state,
+        cached on (fov, env rotation, assets) - the UI can move all
+        three mid-run (sky albedo = env radiance along the centre ray,
+        so rotation and hot-swaps change it)."""
+        import math
+
+        from ..film.denoise import primary_features
+
+        cfg = self.cfg
+        key = (float(state["fov"]), float(state["env_rotation"]),
+               self.active_assets)
+        if self._denoise_cache is None or self._denoise_cache[0] != key:
+            host_scene = jax.tree.map(np.asarray, self.scene)
+            host_env = jax.tree.map(np.asarray, self.env)
+            with self.trace.span("denoise_guides"):
+                guides = primary_features(
+                    host_scene, cfg.width, cfg.height,
+                    math.radians(key[0]), env=host_env,
+                    azimuth=math.radians(key[1]),
+                    max_batch=cfg.max_nif_batch_size)
+            self._denoise_cache = (key, guides)
+            self._preview_guides = None  # device copies follow the key
+        return self._denoise_cache[1]
+
     def _save_films(self, film: Film, n: int, state: dict) -> None:
         """Write the -o outputs for the film normalised at step ``n``.
 
@@ -233,26 +292,11 @@ class PathTracerApp:
         cfg = self.cfg
         hdr = film.hdr_at_step(n)
         if cfg.denoise:
-            import math
+            from ..film.denoise import denoise_hdr
 
-            from ..film.denoise import denoise_hdr, primary_features
-
-            # Guides change with camera fov, env rotation (the sky albedo
-            # is the env radiance along the centre ray) and env hot-swaps:
-            key = (float(state["fov"]), float(state["env_rotation"]),
-                   self.active_assets)
-            if self._denoise_cache is None or self._denoise_cache[0] != key:
-                host_scene = jax.tree.map(np.asarray, self.scene)
-                host_env = jax.tree.map(np.asarray, self.env)
-                with self.trace.span("denoise_guides"):
-                    guides = primary_features(
-                        host_scene, cfg.width, cfg.height,
-                        math.radians(key[0]), env=host_env,
-                        azimuth=math.radians(key[1]),
-                        max_batch=cfg.max_nif_batch_size)
-                self._denoise_cache = (key, guides)
+            guides = self._guides(state)
             with self.trace.span("denoise"):
-                hdr = denoise_hdr(hdr, self._denoise_cache[1],
+                hdr = denoise_hdr(hdr, guides,
                                   iterations=cfg.denoise_iters,
                                   sigma_colour=cfg.denoise_sigma,
                                   firefly_clamp=cfg.denoise_clamp)
@@ -747,14 +791,33 @@ class PathTracerApp:
                     state["exposure"] = live["exposure"]
                     state["gamma"] = live["gamma"]
                     with self.trace.span("ui_preview"):
-                        ldr = np.asarray(
-                            _device_preview(
-                                work_dev_resident, raster_perm,
-                                jnp.float32(state["exposure"]),
-                                jnp.float32(state["gamma"]),
-                                width=cfg.width, height=cfg.height,
+                        if cfg.denoise:
+                            g = self._guides(state)
+                            if self._preview_guides is None:
+                                self._preview_guides = tuple(
+                                    jnp.asarray(g[k]) for k in
+                                    ("albedo", "normal", "disparity"))
+                            ldr = np.asarray(
+                                _device_preview_denoised(
+                                    work_dev_resident, raster_perm,
+                                    jnp.float32(state["exposure"]),
+                                    jnp.float32(state["gamma"]),
+                                    *self._preview_guides,
+                                    jnp.float32(cfg.denoise_sigma),
+                                    jnp.float32(cfg.denoise_clamp),
+                                    width=cfg.width, height=cfg.height,
+                                    iterations=cfg.denoise_iters,
+                                )
                             )
-                        )
+                        else:
+                            ldr = np.asarray(
+                                _device_preview(
+                                    work_dev_resident, raster_perm,
+                                    jnp.float32(state["exposure"]),
+                                    jnp.float32(state["gamma"]),
+                                    width=cfg.width, height=cfg.height,
+                                )
+                            )
                     with self.trace.span("ui_encode"):
                         ui_server.send_preview_image(ldr)
                     ui_server.update_progress(step, steps)
@@ -820,7 +883,19 @@ class PathTracerApp:
                     state["exposure"] = live["exposure"]
                     state["gamma"] = live["gamma"]
                     with self.trace.span("tone_map"):
-                        ldr = film.ldr(step, state["exposure"], state["gamma"])
+                        if cfg.denoise:
+                            from ..film.denoise import denoise_hdr
+
+                            dn = denoise_hdr(
+                                film.hdr_at_step(step), self._guides(state),
+                                iterations=cfg.denoise_iters,
+                                sigma_colour=cfg.denoise_sigma,
+                                firefly_clamp=cfg.denoise_clamp)
+                            ldr = tone_map(dn, 1, state["exposure"],
+                                           state["gamma"])
+                        else:
+                            ldr = film.ldr(step, state["exposure"],
+                                           state["gamma"])
                     with self.trace.span("ui_encode"):
                         ui.send_preview_image(ldr)
                     ui.update_progress(step, steps)

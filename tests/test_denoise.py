@@ -241,6 +241,48 @@ def test_denoise_with_device_film(tmp_path):
     assert not np.array_equal(hdr, film.hdr_at_step(1))
 
 
+def test_device_preview_denoised_matches_host_pipeline():
+    """The on-device denoised preview (device-film + UI + --denoise)
+    must match the host pipeline: Film.accumulate -> denoise_hdr ->
+    tone_map."""
+    import jax.numpy as jnp
+
+    from ipu_path_trace_tpu.core.records import (
+        make_worklist, raster_permutation, to_device_batch,
+    )
+    from ipu_path_trace_tpu.film.film import Film, tone_map
+    from ipu_path_trace_tpu.runtime.app import _device_preview_denoised
+
+    w = h = 16
+    rng = np.random.default_rng(17)
+    wl = make_worklist(w, h)
+    wl["r"] = rng.random(len(wl)).astype(np.float32) * 4.0
+    wl["g"] = rng.random(len(wl)).astype(np.float32) * 4.0
+    wl["b"] = rng.random(len(wl)).astype(np.float32) * 4.0
+    wl["sampleCount"][:] = 6
+    guides = {
+        "albedo": (0.5 + rng.random((h, w, 3))).astype(np.float32),
+        "normal": np.tile(np.float32([0, 0, 1]), (h, w, 1)),
+        "disparity": rng.random((h, w)).astype(np.float32),
+    }
+    perm = jnp.asarray(raster_permutation(wl, w, h))
+    dev = np.asarray(_device_preview_denoised(
+        to_device_batch(wl), perm, jnp.float32(0.25), jnp.float32(2.2),
+        jnp.asarray(guides["albedo"]), jnp.asarray(guides["normal"]),
+        jnp.asarray(guides["disparity"]),
+        jnp.float32(1.0), jnp.float32(10.0),
+        width=w, height=h, iterations=2,
+    ))
+    film = Film(w, h)
+    film.accumulate(wl)
+    host = tone_map(
+        denoise_hdr(film.hdr_at_step(1), guides, iterations=2,
+                    sigma_colour=1.0, firefly_clamp=10.0),
+        1, 0.25, 2.2)
+    diff = np.abs(dev.astype(int) - host.astype(int))
+    assert diff.max() <= 1, f"max LDR diff {diff.max()}"
+
+
 def test_denoise_iters_validated():
     from ipu_path_trace_tpu.runtime.cli import parse_config
 
