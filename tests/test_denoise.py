@@ -283,6 +283,43 @@ def test_device_preview_denoised_matches_host_pipeline():
     assert diff.max() <= 1, f"max LDR diff {diff.max()}"
 
 
+def test_device_preview_denoised_on_mesh():
+    """The on-device denoised preview also compiles and matches when the
+    resident worklist is pixel-sharded over the 8-device mesh (XLA
+    inserts the gather collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipu_path_trace_tpu.core.records import (
+        make_worklist, raster_permutation, to_device_batch,
+    )
+    from ipu_path_trace_tpu.parallel.mesh import make_mesh, shard_work
+    from ipu_path_trace_tpu.runtime.app import _device_preview_denoised
+
+    w, h = 32, 16  # 512 records = 64/device
+    rng = np.random.default_rng(23)
+    wl = make_worklist(w, h)
+    wl["r"] = rng.random(len(wl)).astype(np.float32)
+    wl["g"] = rng.random(len(wl)).astype(np.float32)
+    wl["b"] = rng.random(len(wl)).astype(np.float32)
+    wl["sampleCount"][:] = 3
+    guides = (
+        jnp.ones((h, w, 3), jnp.float32),
+        jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (h, w, 1)),
+        jnp.full((h, w), 0.5, jnp.float32),
+    )
+    perm = jnp.asarray(raster_permutation(wl, w, h))
+    args = (perm, jnp.float32(0.0), jnp.float32(2.2), *guides,
+            jnp.float32(1.0), jnp.float32(10.0))
+    single = np.asarray(_device_preview_denoised(
+        to_device_batch(wl), *args, width=w, height=h, iterations=2))
+    mesh = make_mesh(8, "8x1")
+    sharded = np.asarray(_device_preview_denoised(
+        shard_work(to_device_batch(wl), mesh), *args,
+        width=w, height=h, iterations=2))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_denoise_iters_validated():
     from ipu_path_trace_tpu.runtime.cli import parse_config
 
