@@ -36,6 +36,9 @@ W = H = int(os.environ.get("UI_PROBE_SIZE", "512"))
 # 1 = drive the --device-film interactive mode (on-device tonemap, only
 # LDR bytes cross per step) instead of the step-wise worklist loop:
 DEVICE_FILM = os.environ.get("UI_PROBE_DEVICE_FILM", "") == "1"
+# 1 = add --denoise: with DEVICE_FILM the previews are filtered ON
+# DEVICE (_device_preview_denoised); without, host-side.
+DENOISE = os.environ.get("UI_PROBE_DENOISE", "") == "1"
 
 
 def main() -> int:
@@ -50,6 +53,8 @@ def main() -> int:
     ]
     if DEVICE_FILM:
         cmd.append("--device-film")
+    if DENOISE:
+        cmd.append("--denoise")
     proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
                             stderr=subprocess.STDOUT)
     client = None
