@@ -85,8 +85,9 @@ def _intersect(scene: OracleScene, o, d):
         with np.errstate(divide="ignore", invalid="ignore"):
             # t may be +-inf (parallel ray) or nan; hit_p then contains
             # inf*0 garbage on those lanes.  Both are masked out by `ok`
-            # below (inf fails t > _EPS comparisons deterministically and
-            # nan compares false), so silence the transient FP warnings.
+            # below: parallel lanes fail |denom| > 1e-12, inf-t lanes get
+            # inf/nan r2 which compares False against radius^2, and nan
+            # compares False everywhere.  Silence the transient warnings.
             t = num / denom
             hit_p = o + d * t[:, None]
             r2 = np.sum((hit_p - scene.disc_center[k]) ** 2, axis=-1)

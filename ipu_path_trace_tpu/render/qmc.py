@@ -70,9 +70,10 @@ _REV_DIRS: tuple[tuple[int, ...], ...] = tuple(
 # on dimension 0 being the van der Corput identity matrix.  Guard it at
 # import time so a regenerated direction table can never silently break
 # the shortcut (tests exercise it, but only when scipy is installed).
-assert all(
-    DIRS[0][k] == (0x80000000 >> k) for k in range(32)
-), "Sobol dimension 0 must be the van der Corput identity matrix"
+if not all(DIRS[0][k] == (0x80000000 >> k) for k in range(32)):
+    # Explicit raise (not a bare assert) so the guard survives python -O.
+    raise AssertionError(
+        "Sobol dimension 0 must be the van der Corput identity matrix")
 
 
 def reverse_bits32(x: jnp.ndarray) -> jnp.ndarray:

@@ -794,9 +794,15 @@ class PathTracerApp:
                         if cfg.denoise:
                             g = self._guides(state)
                             if self._preview_guides is None:
-                                self._preview_guides = tuple(
-                                    jnp.asarray(g[k]) for k in
-                                    ("albedo", "normal", "disparity"))
+                                # Floor the albedo exactly like the host
+                                # save path (denoise_hdr) so black-diffuse
+                                # or non-positive-env pixels never divide
+                                # 0/0 into the wavelet filter.
+                                self._preview_guides = (
+                                    jnp.maximum(jnp.asarray(g["albedo"]),
+                                                1e-3),
+                                    jnp.asarray(g["normal"]),
+                                    jnp.asarray(g["disparity"]))
                             ldr = np.asarray(
                                 _device_preview_denoised(
                                     work_dev_resident, raster_perm,

@@ -40,6 +40,19 @@ QUICK_FILES = {
     "test_mathx.py",
     "test_film_io.py",
     "test_scenefile.py",
+    "test_quick_tier.py",
+}
+
+# Files deliberately absent from the quick tier (each needs a reason —
+# test_quick_tier.py::test_every_file_has_quick_representation fails on
+# any test file that is neither quick-represented nor waived here):
+WAIVED_QUICK = {
+    # Bit-exactness across process restarts: every test re-renders the
+    # same frame twice; the cheapest case is ~40 s on the CI box.
+    "test_determinism.py",
+    # Loads the shipped 6x320 urban-alley NIF asset and re-scores its
+    # PSNR against the generator output: ~90 s of pure reconstruct.
+    "test_shipped_assets.py",
 }
 
 # Individual fast representatives (file, test base name — all params):
@@ -128,8 +141,23 @@ QUICK_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched: set = set()
+    collected_files: set = set()
     for item in items:
         fname = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
         base = item.name.split("[")[0]
+        collected_files.add(fname)
         if fname in QUICK_FILES or (fname, base) in QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
+            matched.add((fname, base))
+    # Drift guard: a renamed or deleted test must not silently drop out
+    # of the quick tier.  Only judge entries whose FILE was collected —
+    # running a single other file must not trip the guard.
+    stale = sorted(
+        f"{f}::{n}" for (f, n) in QUICK_TESTS
+        if f in collected_files and (f, n) not in matched
+    )
+    if stale:
+        raise pytest.UsageError(
+            "QUICK_TESTS entries matched no collected test (renamed or "
+            "deleted? update tests/conftest.py): " + ", ".join(stale))
