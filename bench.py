@@ -46,6 +46,27 @@ BASELINE_MPATHS = 50.0
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _peak_bf16_flops(device) -> float | None:
+    """Peak dense bf16 TFLOP/s for the detected chip (public spec sheets).
+
+    Returns None for unknown kinds (e.g. the CPU fallback backend) so the
+    metric line omits mfu rather than fabricating a peak.
+    """
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v5 lite": 197e12,   # v5e
+        "v5e": 197e12,
+        "v5p": 459e12,
+        "v4": 275e12,
+        "v6 lite": 918e12,   # Trillium
+        "v6e": 918e12,
+    }
+    for name, peak in table.items():
+        if name in kind:
+            return peak
+    return None
+
+
 def _retry_transient(fn):
     """Run fn(); retry once if the remote compile throws a transient 500."""
     try:
@@ -67,6 +88,7 @@ def _load_env(asset_dir: str):
         analyse_nif, load_nif_assets, make_params, make_synthetic_nif,
     )
 
+    info = None
     try:
         params, meta, weights = load_nif_assets(asset_dir, jnp.bfloat16)
         info = analyse_nif(weights, 1)
@@ -86,7 +108,8 @@ def _load_env(asset_dir: str):
         print(f"bench NIF: {desc}: {e}", file=sys.stderr)
         weights, meta = make_synthetic_nif(key=0)  # canonical 6x320 arch
         params = make_params(weights, meta, jnp.bfloat16)
-    return NifEnv(params=params), desc
+        info = analyse_nif(weights, 1)
+    return NifEnv(params=params), desc, info
 
 
 def _measure(label: str, env, scene, cfg, settings, work, sync) -> float:
@@ -154,7 +177,7 @@ def main() -> None:
     # before execution finishes; a scalar fetch is a reliable barrier.
     sync = jax.jit(lambda w: w.r[0] + w.b[-1])
 
-    env_canon, desc = _load_env(
+    env_canon, desc, nif_info = _load_env(
         os.path.join(REPO, "assets", "urban_alley_synth_nif"))
     headline = _measure("canonical 6x320", env_canon, scene, cfg, settings,
                         work, sync)
@@ -165,7 +188,7 @@ def main() -> None:
     # speed/quality frontier stays measured:
     offclass = None
     try:
-        env_tuned, _ = _load_env(os.path.join(REPO, "assets", "nif_w192e16"))
+        env_tuned, _, _ = _load_env(os.path.join(REPO, "assets", "nif_w192e16"))
         offclass = _measure("192-E16 off-class", env_tuned, scene, cfg,
                             settings, work, sync)
         print(f"off-class 192-E16 rate: {offclass:.1f} Mpaths/s "
@@ -192,6 +215,27 @@ def main() -> None:
         "vs_baseline": round(headline / BASELINE_MPATHS, 4),
         "onclass_psnr_db": {"6x320": 36.29, "192e16": 31.89},
     }
+    # MFU: each path evaluates the NIF chain once (every ray queries the
+    # env light through the fused kernel); flops are per full-frame sample
+    # (W*H paths).  "model" counts useful MACs (analyse_nif, the standard
+    # MFU numerator); "padded" counts MXU-issued work in the kernel's
+    # feature-major layout (contraction dim -> 128 rows, output -> 8
+    # sublanes) - the roofline that docs/PERF.md's stub split reconciles
+    # against.  Peak is the detected chip's dense bf16 spec.
+    peak = _peak_bf16_flops(dev)
+    if nif_info is not None:
+        per_path_model = float(nif_info["flops"])
+        per_path_padded = float(nif_info["padded_flops"])
+        line["flops_per_sample_model"] = round(per_path_model * WIDTH * HEIGHT)
+        line["flops_per_sample_padded"] = round(per_path_padded * WIDTH * HEIGHT)
+        if peak is not None:
+            rate = headline * 1e6  # paths/s
+            line["mfu"] = round(per_path_model * rate / peak, 4)
+            line["mxu_util_padded"] = round(per_path_padded * rate / peak, 4)
+            print(f"mfu={line['mfu']} (model flops) "
+                  f"mxu_util_padded={line['mxu_util_padded']} "
+                  f"(peak {peak / 1e12:.0f} TFLOP/s bf16, {dev.device_kind})",
+                  file=sys.stderr)
     if offclass is not None:
         line["offclass_192e16_mpaths"] = round(offclass, 3)
     print(json.dumps(line))

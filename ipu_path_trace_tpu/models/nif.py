@@ -289,13 +289,25 @@ def nif_apply(params: NifParams, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def analyse_nif(weights: NifWeights, sample_count: int) -> dict:
-    """FLOPs / parameter report (NifModel::analyseModel, NifModel.cpp:122-144)."""
+    """FLOPs / parameter report (NifModel::analyseModel, NifModel.cpp:122-144).
+
+    ``flops`` counts useful (model) multiply-adds; ``padded_flops`` counts
+    the MXU-issued work in the feature-major kernel layout (activations
+    ``(features, batch)``, batch on the 128-lane axis): the contraction
+    dimension (layer input) pads to the MXU's 128 rows, the output
+    dimension rides the sublane axis and pads to 8.  This model reconciles
+    with the measured in-kernel NIF time to ~2% on v5e (docs/PERF.md),
+    unlike a both-dims-128 model which over-counts partial output tiles.
+    """
     flops = 0
+    padded = 0
     param_bytes = 0
     for l in weights.layers:
         itemsize = 2 if l.dtype == "float16" else 4
         param_bytes += l.kernel.size * itemsize
-        layer_flops = 2 * l.kernel.shape[0] * l.kernel.shape[1]
+        fan_in, fan_out = l.kernel.shape
+        layer_flops = 2 * fan_in * fan_out
+        padded += 2 * (-(-fan_in // 128) * 128) * (-(-fan_out // 8) * 8)
         if l.bias is not None:
             param_bytes += l.bias.size * itemsize
             layer_flops += l.bias.shape[0]
@@ -305,6 +317,7 @@ def analyse_nif(weights: NifWeights, sample_count: int) -> dict:
         "hidden_size": weights.layers[0].kernel.shape[1],
         "batch_size": sample_count,
         "flops": flops * sample_count,
+        "padded_flops": padded * sample_count,
         "parameters_kib": param_bytes / 1024.0,
     }
 

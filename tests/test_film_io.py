@@ -145,6 +145,22 @@ def test_analyse_nif_flops():
     # 48->320, 5x 320->320, 320->3 (+biases):
     expect = (2 * 48 * 320 + 320) + 5 * (2 * 320 * 320 + 320) + (2 * 320 * 3 + 3)
     assert info["flops"] == expect
+    # MXU-issued work in the feature-major kernel layout: contraction
+    # (input) dim pads to 128 rows, output dim pads to 8 sublanes.
+    expect_padded = (2 * 128 * 320) + 5 * (2 * 384 * 320) + (2 * 384 * 8)
+    assert info["padded_flops"] == expect_padded
+
+
+def test_analyse_nif_padded_flops_skip_concat():
+    # The canonical 6x320 E=12 arch WITH the skip layer (368 -> 384 pad):
+    weights, _ = make_synthetic_nif(key=0)
+    info = analyse_nif(weights, 1)
+    expect_padded = (2 * 128 * 320 + 4 * 2 * 384 * 320 + 2 * 384 * 320
+                     + 2 * 384 * 8)
+    assert info["padded_flops"] == expect_padded
+    # The whole-step measured rate must be BELOW the bf16 roofline this
+    # model implies (sanity: the model cannot under-count the hardware):
+    assert info["padded_flops"] * 126.6e6 < 197e12
 
 
 def test_skip_concat_detection():
