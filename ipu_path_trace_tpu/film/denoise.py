@@ -136,6 +136,11 @@ def primary_features(scene, width: int, height: int, fov,
         "albedo": albedo.reshape(height, width, 3),
         "normal": np.asarray(normal).reshape(height, width, 3),
         "disparity": np.asarray(disparity).reshape(height, width),
+        # Extras for --debug-view (film/debugview.py); the filter itself
+        # only reads the three guide buffers above:
+        "escape_uv": np.stack([np.asarray(eu), np.asarray(ev)],
+                              axis=-1).reshape(height, width, 2),
+        "hit": np.asarray(valid).reshape(height, width),
     }
 
 

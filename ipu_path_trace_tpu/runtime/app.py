@@ -166,6 +166,9 @@ class PathTracerApp:
         # is fixed per process.  _preview_guides holds device copies for
         # the on-device denoised preview (device-film + UI):
         self._denoise_cache: tuple[tuple, dict] | None = None
+        # --debug-view path-length source: (u, v, pathLength, sampleCount)
+        # arrays from the most recent worklist fetch (either pipeline):
+        self._debug_soa: tuple | None = None
         self._preview_guides: tuple | None = None
         # Set by a SIGTERM/SIGINT handler (runtime/cli.py): the render
         # loop finishes the in-flight step, then takes the normal exit
@@ -290,6 +293,28 @@ class PathTracerApp:
         so later saves refine from the raw Monte-Carlo state.
         """
         cfg = self.cfg
+        if cfg.debug_view:
+            # Diagnostic channel instead of radiance (the reference's
+            # DEBUG contribution case, codelets.cpp:283-285): rendered
+            # through the production camera/intersector via the denoiser
+            # guide pass; the accumulator is untouched.
+            from ..film.debugview import debug_ldr, debug_view, mean_path_length
+
+            plm = None
+            if cfg.debug_view == "path-length":
+                if self._debug_soa is None:
+                    logger().warning(
+                        "--debug-view path-length: no worklist fetched "
+                        "yet; writing a zero heat map")
+                    plm = np.zeros((cfg.height, cfg.width), np.float32)
+                else:
+                    plm = mean_path_length(*self._debug_soa,
+                                           cfg.width, cfg.height)
+            with self.trace.span("debug_view"):
+                img = debug_view(cfg.debug_view, self._guides(state), plm,
+                                 cfg.max_path_length)
+            save_images(cfg.outfile, img, debug_ldr(img, state["gamma"]))
+            return
         hdr = film.hdr_at_step(n)
         if cfg.denoise:
             from ..film.denoise import denoise_hdr
@@ -836,6 +861,8 @@ class PathTracerApp:
                             film.accumulate_soa(
                                 wb.u, wb.v, wb.r, wb.g, wb.b, wb.sample_count
                             )
+                        self._debug_soa = (wb.u, wb.v, wb.path_length,
+                                           wb.sample_count)
                         soa = wb._asdict()
                         if l2 is not None:
                             soa["lum2"] = l2  # adaptive schedule state
@@ -879,6 +906,14 @@ class PathTracerApp:
                                 ui=ui_server, fp=current_fp()):
                 with self.trace.span("accumulate_framebuffers"):
                     film.accumulate(balancer.work.inactive)
+                if cfg.debug_view == "path-length":
+                    # Copies: clear_inactive_accumulators zeroes the
+                    # per-step pathLength in place below, before the
+                    # save-path reads it.
+                    rec = balancer.work.inactive
+                    self._debug_soa = (rec["u"].copy(), rec["v"].copy(),
+                                       rec["pathLength"].copy(),
+                                       rec["sampleCount"].copy())
                 disk_pending["norm"] = step
                 if ui is not None:
                     # Tone-mapping reads the LIVE UI state - exposure/gamma

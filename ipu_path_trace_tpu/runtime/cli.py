@@ -198,6 +198,14 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Firefly suppressor for --denoise: clamp each "
                           "pixel's luminance to k x its 3x3 neighbourhood "
                           "median before filtering (0 disables).")
+    tpu.add_argument("--debug-view", default="",
+                     choices=["", "normal", "albedo", "depth", "path-length",
+                              "escape-uv"],
+                     help="Save a diagnostic channel instead of radiance "
+                          "(film/debugview.py), rendered through the "
+                          "production camera/intersector.  The accumulator "
+                          "is untouched.  The reference's DEBUG contribution "
+                          "analog (codelets.cpp:283-285, :345).")
     return p
 
 
@@ -262,6 +270,7 @@ def parse_config(argv=None) -> Config:
         denoise_iters=args.denoise_iters,
         denoise_sigma=args.denoise_sigma,
         denoise_clamp=args.denoise_clamp,
+        debug_view=args.debug_view,
     )
     cfg.validate()
     return cfg

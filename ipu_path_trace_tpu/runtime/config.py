@@ -121,6 +121,13 @@ class Config:
     # accumulated state).  Needs --device-film (int32 counts + on-device
     # controller) and the fused NIF megastep.  The reference always
     # samples uniformly (PathTracerApp.cpp:466-468).
+    # Debug-visualisation save mode (film/debugview.py): replace the
+    # SAVED image with a deterministic diagnostic channel (normal,
+    # albedo, depth, path-length heat, escape-uv) rendered through the
+    # production camera/intersector.  The accumulator is untouched.
+    # Analog of the reference's DEBUG contribution case
+    # (codelets.cpp:283-285) and its UV debug overwrite (:345).
+    debug_view: str = ""  # "" | normal | albedo | depth | path-length | escape-uv
     adaptive: bool = False
     adaptive_min: int = 8  # per-block budget floor (samples/step)
     adaptive_max_factor: float = 16.0  # budget cap = factor * samples-per-step

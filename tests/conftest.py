@@ -131,6 +131,9 @@ QUICK_TESTS = {
     ("test_ui.py", "test_port_in_use_fails_fast"),
     # RMSE artifact coverage check (pure)
     ("test_rmse_artifact.py", "test_rmse_config_list_covers_baseline"),
+    # debug-view save modes (film/debugview.py) minus the app e2e
+    ("test_debugview.py", "test_mean_path_length_scatter"),
+    ("test_debugview.py", "test_debug_view_modes"),
     # denoiser (film/denoise.py) minus the app e2e
     ("test_denoise.py", "test_primary_features_match_scene"),
     ("test_denoise.py", "test_flat_region_variance_reduction"),
@@ -152,7 +155,12 @@ def pytest_collection_modifyitems(config, items):
             matched.add((fname, base))
     # Drift guard: a renamed or deleted test must not silently drop out
     # of the quick tier.  Only judge entries whose FILE was collected —
-    # running a single other file must not trip the guard.
+    # running a single other file must not trip the guard — and skip it
+    # entirely when specific node IDs were requested (pytest file.py::t
+    # collects just that test, which would false-positive every other
+    # entry of the same file).
+    if any("::" in str(a) for a in config.invocation_params.args):
+        return
     stale = sorted(
         f"{f}::{n}" for (f, n) in QUICK_TESTS
         if f in collected_files and (f, n) not in matched
