@@ -78,6 +78,11 @@ class MegaStepOut(NamedTuple):
 # second-moment accumulator (render/adaptive.py shares these).
 LUM_R, LUM_G, LUM_B = 0.2126, 0.7152, 0.0722
 
+# The tuned hardware grid block (300-spp sweep: 2048 edges 1024/4096 by
+# ~1%).  Exported so policy code (the app's auto --env-skip probe)
+# reasons about the same block layout the kernel will run.
+MEGASTEP_BLOCK = 2048
+
 
 def _stub_nif_layer(x, feats, w_ref, b_ref, is_last: bool, upcast_dot=False):
     """Measurement stub (stub='nif'): same shapes/dtypes, ~no FLOPs.
@@ -419,7 +424,7 @@ def render_megastep_pallas(
     height: int,
     max_path_length: int,
     aa_noise_type: str = "normal",
-    block_size: int = 2048,  # 300-spp sweep: 2048 edges 1024/4096 by ~1%
+    block_size: int = MEGASTEP_BLOCK,  # see the constant's derivation note
     interpret: bool = False,
     split_point: int | None = None,  # probe knob (scripts/megastep_splitpoint)
     stub: str | None = None,  # 'nif'/'trace'/'both': devtime in-kernel split

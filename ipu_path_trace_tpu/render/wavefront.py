@@ -350,6 +350,48 @@ def trace_sample_with_uniforms(
     return state
 
 
+def dead_block_fraction(
+    scene: Scene,
+    settings: RenderSettings,
+    cfg: StaticConfig,
+    cols: jnp.ndarray,
+    rows: jnp.ndarray,
+    base_key: jax.Array,
+    n_samples: int,
+    block_size: int,
+) -> float:
+    """Fraction of kernel blocks whose escape weights are ALL zero.
+
+    The exact criterion the megastep's dead-block env-skip guard tests
+    per (block, sample) iteration (ops/megastep_pallas._env_contrib):
+    escape weights are path throughputs (>= 0), so a zero block sum
+    means the whole NIF matmul chain would be elided for that block.
+    Traced with the XLA twin (trace_sample_with_uniforms) on whatever
+    backend the caller placed ``scene``/``cols`` on - the app's auto
+    --env-skip probe runs it on the host CPU backend so the decision
+    never touches the TPU.  Padding lanes (the kernel pads the tail
+    block) escape nothing, matching the kernel's padded layout.
+    """
+    n = cols.shape[0]
+    nblk = -(-n // block_size)
+
+    @jax.jit
+    def one(skey):
+        noise = sample_noise(skey, n, cfg)
+        st = trace_sample_with_uniforms(
+            scene, settings, cfg, cols, rows, noise[0:2], noise[2:4],
+            noise[4:].reshape(cfg.max_path_length, 4, n))
+        w = st.esc_w.x + st.esc_w.y + st.esc_w.z
+        w = jnp.pad(w, (0, nblk * block_size - n))
+        return jnp.mean((w.reshape(nblk, block_size).sum(axis=1) == 0.0)
+                        .astype(jnp.float32))
+
+    total = 0.0
+    for s in range(n_samples):
+        total += float(one(sample_key(base_key, s)))
+    return total / max(1, n_samples)
+
+
 def trace_one_sample(
     scene: Scene,
     settings: RenderSettings,

@@ -170,6 +170,10 @@ class PathTracerApp:
         # arrays from the most recent worklist fetch (either pipeline):
         self._debug_soa: tuple | None = None
         self._preview_guides: tuple | None = None
+        # --env-skip auto resolution, set by build() (None until then;
+        # "on"/"off" resolve trivially, "auto" runs the dead-block probe
+        # in _resolve_env_skip):
+        self._env_skip_resolved: bool | None = None
         # Set by a SIGTERM/SIGINT handler (runtime/cli.py): the render
         # loop finishes the in-flight step, then takes the normal exit
         # path - final fetch, exit image save, checkpoint.  Preemption
@@ -245,8 +249,76 @@ class PathTracerApp:
             adaptive_max_factor=self.cfg.adaptive_max_factor,
             sampler=self.cfg.sampler,
             sobol_dims=self.cfg.sobol_dims,
-            env_skip=self.cfg.env_skip,
+            env_skip=(self._env_skip_resolved
+                      if self._env_skip_resolved is not None
+                      else self.cfg.env_skip == "on"),
         )
+
+    # Auto --env-skip decision rule.  The skip elides the NIF chain for
+    # all-dead blocks; its lax.cond guard costs ~1.5% on scenes where it
+    # never fires, and the chain is ~84% of the step (docs/ENVSKIP.json,
+    # docs/PERF.md "Where the time goes"), so the expected win is
+    # dead_fraction * 0.84 against a 0.015 guard tax - breakeven at
+    # ~1.8% dead blocks.  2% adds a little margin for probe noise:
+    AUTO_ENV_SKIP_THRESHOLD = 0.02
+    AUTO_ENV_SKIP_PROBE_SAMPLES = 2
+
+    def _resolve_env_skip(self) -> bool:
+        """Resolve cfg.env_skip ("auto"/"on"/"off") to the kernel bool.
+
+        "auto" measures the scene's dead-block fraction - the exact
+        criterion the skip guard tests per (block, sample) - by tracing
+        a couple of samples with the XLA twin on the HOST CPU backend
+        over the real ordered worklist, then applies the measured
+        breakeven rule above.  The reference cannot make this choice:
+        its escaped-ray pre/post-process always pays the full batch
+        (codelets.cpp:348-352).  The probe is skipped whenever the
+        fused NIF megastep (the only kernel with the skip) won't run,
+        and under --load-exe, where the kernel choice is already baked
+        into the executable.
+        """
+        cfg = self.cfg
+        if cfg.env_skip != "auto":
+            return cfg.env_skip == "on"
+        # Mirror the step's own kernel choice (render/wavefront.py
+        # pallas_on): the fused NIF megastep - the only kernel with the
+        # skip - runs on TPU backends, or anywhere in host-noise mode:
+        interp = (cfg.pallas_interpret > 0
+                  and jax.default_backend() != "tpu")
+        pallas_on = cfg.use_pallas and (
+            jax.default_backend() == "tpu" or interp)
+        if not (pallas_on and cfg.nif_mode == "fused"
+                and isinstance(self.env, NifEnv)) or cfg.load_exe:
+            return False
+        from ..ops.megastep_pallas import MEGASTEP_BLOCK
+        from ..render.wavefront import _INTERPRET_BLOCK, dead_block_fraction
+        block = _INTERPRET_BLOCK if interp else MEGASTEP_BLOCK
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:  # no CPU backend registered: probe in place
+            cpu = None
+        wl = self.balancer.work.active
+        scene_host = jax.tree.map(np.asarray, self.scene)
+        t0 = time.monotonic()
+        with jax.default_device(cpu):
+            frac = dead_block_fraction(
+                jax.tree.map(jnp.asarray, scene_host),
+                self.settings(self.samples_per_step),
+                StaticConfig(width=cfg.width, height=cfg.height,
+                             max_path_length=cfg.max_path_length,
+                             aa_noise_type=cfg.aa_noise_type),
+                jnp.asarray(wl["u"], jnp.float32),
+                jnp.asarray(wl["v"], jnp.float32),
+                make_base_key(cfg.seed, cfg.rng_impl),
+                self.AUTO_ENV_SKIP_PROBE_SAMPLES, block,
+            )
+        skip = frac >= self.AUTO_ENV_SKIP_THRESHOLD
+        logger().info(
+            "--env-skip auto: dead-block fraction %.4f at block %d "
+            "(threshold %.3f, CPU probe %.1fs) -> %s",
+            frac, block, self.AUTO_ENV_SKIP_THRESHOLD,
+            time.monotonic() - t0, "on" if skip else "off")
+        return skip
 
     def local_samples(self, samples_per_step: int) -> int:
         """Per-chip sample count when a sample mesh axis is in use."""
@@ -397,6 +469,8 @@ class PathTracerApp:
         log_tensor_info("scene", self.scene)
         log_tensor_info("env", self.env)
 
+        with self.trace.span("resolve_env_skip"):
+            self._env_skip_resolved = self._resolve_env_skip()
         step_fn = make_step_fn(self.static_config(), self.mesh, rng_impl=self.cfg.rng_impl)
         self.programs.add("path_trace", step_fn)
         adaptive_fn = None

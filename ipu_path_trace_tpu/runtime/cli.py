@@ -104,12 +104,16 @@ def build_parser() -> argparse.ArgumentParser:
                           "(trace kernel vs NIF env kernel vs fused step) at "
                           "the render shape before the loop starts - the "
                           "cycle-counter analog of the reference.")
-    tpu.add_argument("--env-skip", action="store_true", default=False,
+    tpu.add_argument("--env-skip", nargs="?", const="on", default="auto",
+                     choices=("auto", "on", "off"),
                      help="Skip the NIF env-light matmuls for kernel blocks "
                           "whose paths all died without escaping (exact; "
                           "measured 7.6x on a fully enclosed scene, ~1.5%% "
                           "overhead on open scenes - docs/ENVSKIP.json). "
-                          "Use for interior scenes.")
+                          "'auto' (default) probes the scene's dead-block "
+                          "fraction at build time and enables the skip only "
+                          "when it clears the guard cost; a bare --env-skip "
+                          "forces it on, '--env-skip off' forces it off.")
     tpu.add_argument("--aperture", type=float, default=0.0,
                      help="Thin-lens aperture radius (scene units); 0 = pinhole.")
     tpu.add_argument("--focal-distance", type=float, default=1.0,

@@ -78,8 +78,12 @@ class Config:
     # Dead-block env-skip: elide the NIF matmul chain for kernel blocks
     # whose escape weights are all zero (exact identity).  Pays 7.55x on
     # fully enclosed scenes, ~1.5% overhead on open ones
-    # (docs/ENVSKIP.json) - opt in for interiors:
-    env_skip: bool = False
+    # (docs/ENVSKIP.json).  "auto" (default) measures the dead-block
+    # fraction at build time with a cheap CPU-backend trace probe and
+    # turns the skip on only when it clears the measured guard cost
+    # (runtime/app.PathTracerApp._resolve_env_skip); "on"/"off" force.
+    # Bools are accepted for backwards compatibility (True="on").
+    env_skip: str | bool = "auto"
     # Thin-lens depth of field; aperture 0 = the reference's pinhole:
     aperture: float = 0.0
     focal_distance: float = 1.0
@@ -168,6 +172,11 @@ class Config:
     pallas_interpret: int = 0
 
     def validate(self) -> None:
+        if isinstance(self.env_skip, bool):  # pre-auto callers
+            self.env_skip = "on" if self.env_skip else "off"
+        if self.env_skip not in ("auto", "on", "off"):
+            raise ValueError(f"unknown --env-skip '{self.env_skip}' "
+                             "(choices: auto, on, off)")
         if self.save_exe and self.load_exe:
             raise ValueError("You can not set both save-exe and load-exe.")
         if self.device_film and self.enable_load_balancing:

@@ -134,6 +134,9 @@ QUICK_TESTS = {
     # debug-view save modes (film/debugview.py) minus the app e2e
     ("test_debugview.py", "test_mean_path_length_scatter"),
     ("test_debugview.py", "test_debug_view_modes"),
+    # auto --env-skip probe + policy (minus the app renders)
+    ("test_envskip_auto.py", "test_dead_block_fraction_enclosed_vs_open"),
+    ("test_envskip_auto.py", "test_cli_env_skip_tristate"),
     # denoiser (film/denoise.py) minus the app e2e
     ("test_denoise.py", "test_primary_features_match_scene"),
     ("test_denoise.py", "test_flat_region_variance_reduction"),
