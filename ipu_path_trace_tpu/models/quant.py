@@ -1,0 +1,228 @@
+"""Post-training int8 quantization of the NIF matmul chain.
+
+The megastep is ~84% NIF matmul already running at >=91% of the v5e's
+bf16 roofline (docs/PERF.md "Where the time goes"), so the one
+remaining arithmetic lever is the MXU's int8 mode, which doubles peak
+throughput (measured 1.59x end-to-end on the 6x320 chain,
+docs/QUANT.json).  This module turns a loaded NIF into the int8 form
+the kernels consume - the reference's precision-for-speed discipline
+(fp16 weights + half partials, PathTracerApp.cpp:140-145,821-822)
+taken one step further than its hardware could.
+
+Scheme (all symmetric, zero-point 0):
+
+* **Weights**: per-output-channel scales sw[oc] = absmax(w[:, oc])/127.
+  Per-channel roughly halves weight quantisation error vs per-tensor
+  and costs the kernel nothing - the accumulator multiplier becomes an
+  (out, 1) VMEM vector instead of a scalar, the same VPU broadcast
+  either way (measured equal, docs/QUANT.json int8_perchan).
+* **Fourier features**: exactly in [-1, 1], so their scale is the
+  CONSTANT 1/127 - no calibration, and the skip-concat rows keep full
+  precision relative to their range.
+* **Hidden activations**: post-ReLU (>= 0), per-layer static scales
+  a_i/127 from a calibration pass over a uniform UV lattice (the NIF's
+  whole input domain - unlike generic nets its input distribution is
+  KNOWN, so lattice calibration is exhaustive, not a sample).
+* **Skip layer**: runs as TWO dots (trunk columns x activation scale,
+  feature columns x 1/127) so each operand keeps its own scale; the
+  total contraction width is unchanged, so MXU cost is identical.
+* **Head**: int8 dot -> i32 -> f32 multiplier; the decode
+  (y*max + mean, exp) stays f32 - the HDR range never touches int8.
+
+The quantised forward is pure integer dots + per-element f32 ops, so
+given the SAME int8 features the XLA twin below and the Pallas kernels
+(ops/nif_pallas.py, ops/megastep_pallas.py) agree bitwise - zero
+padding to the MXU tiles never changes an integer accumulator
+(tests/test_quant.py pins this).  End-to-end the paths differ only
+through the f32 Fourier encode: the double-angle recurrence doubles a
+1-ulp FMA-contraction difference per octave (the doubling map is
+chaotic), so features can land on opposite sides of the round() tie in
+different compile contexts.  End-to-end parity is therefore
+tolerance-based, exactly like the bf16 kernel's (tests/test_nif_pallas.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .nif import NifMetaData, NifWeights
+
+QMAX = 127.0
+
+
+class QuantNifParams(NamedTuple):
+    """Pytree of device arrays for int8 NIF inference.
+
+    Layer i computes  acc = dot(int8 w_i, int8 x_i)  (i32), then
+    y = acc * mults[i] + biases[i]  (f32), ReLU, and requantises with
+    x_{i+1} = clip(round(y * inv_next[i])).  The skip layer adds
+    accf * mult_skip for its feature columns.  Shapes are the REAL
+    model shapes; kernels pad contraction dims to the MXU's int8 tile
+    at trace time (zero columns = exact).
+    """
+
+    kernels: tuple  # int8 (in, out) per layer (feature cols last at skip)
+    biases: tuple  # f32 (out,) per layer
+    mults: tuple  # f32 (out,) per layer: sw[oc] * (input scale)
+    mult_skip: Any  # f32 (out,) skip layer's feature-dot multiplier
+    inv_next: Any  # f32 (L,) requant steps 127/a_i (last entry unused, 1)
+    max: Any  # () f32 decode scalars, as NifParams
+    mean: Any  # (3,) f32
+    log_tone_map: Any  # () bool_
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.kernels[0].shape[0] // 4
+
+    @property
+    def skip_layer(self) -> int:
+        """Index of the skip-concat layer, re-detected from shapes like
+        every other inference path (NifModel.cpp:303-309); -1 = none."""
+        for i in range(1, len(self.kernels)):
+            if self.kernels[i].shape[0] != self.kernels[i - 1].shape[1]:
+                return i
+        return -1
+
+
+def _f32_chain_activations(weights: NifWeights, feats: np.ndarray):
+    """Host f32 forward over (P, 4E) features; returns the per-hidden-
+    layer post-ReLU output absmax (the activation calibration)."""
+    x = feats
+    amax = []
+    for i, l in enumerate(weights.layers):
+        if x.shape[-1] != l.kernel.shape[0]:
+            x = np.concatenate([x, feats], axis=-1)
+        y = x @ l.kernel.astype(np.float32)
+        if l.bias is not None:
+            y = y + l.bias.astype(np.float32)
+        if i < len(weights.layers) - 1:
+            y = np.maximum(y, 0.0)
+            amax.append(max(1e-6, float(np.abs(y).max())))
+        x = y
+    return amax
+
+
+def calibration_features(embedding_dim: int, grid=(256, 512)) -> np.ndarray:
+    """Fourier features over a uniform UV lattice covering the input
+    domain, with the KERNELS' double-angle encode (ops/nif_pallas.py
+    nif_encode) so calibration sees the exact values inference will."""
+    from ..ops.nif_pallas import nif_encode
+
+    h, w = grid
+    u = (np.arange(h, dtype=np.float32) + 0.5) / h
+    v = (np.arange(w, dtype=np.float32) + 0.5) / w
+    uu, vv = [g.reshape(-1) for g in np.meshgrid(u, v, indexing="ij")]
+    feats = nif_encode(jnp.asarray(uu), jnp.asarray(vv), embedding_dim,
+                       jnp.float32)  # (4E, P)
+    return np.asarray(feats).T  # (P, 4E)
+
+
+def quantize_nif(
+    weights: NifWeights, meta: NifMetaData, grid=(256, 512)
+) -> QuantNifParams:
+    """PTQ a loaded NIF: per-channel int8 weights + lattice-calibrated
+    activation scales (module docstring).  ~1 s on the host for the
+    canonical 6x320."""
+    feats = calibration_features(meta.embedding_dimension, grid)
+    amax = _f32_chain_activations(weights, feats)
+
+    kernels, biases, mults = [], [], []
+    mult_skip = None
+    nl = len(weights.layers)
+    inv_next = np.ones((nl,), np.float32)
+    prev_w = weights.layers[0].kernel.shape[0]  # = 4E
+    for i, l in enumerate(weights.layers):
+        w = l.kernel.astype(np.float32)  # (in, out)
+        sw = np.maximum(np.abs(w).max(axis=0), 1e-12) / QMAX  # (out,)
+        q = np.clip(np.round(w / sw), -QMAX, QMAX).astype(np.int8)
+        kernels.append(jnp.asarray(q))
+        b = (l.bias if l.bias is not None
+             else np.zeros(w.shape[1])).astype(np.float32)
+        biases.append(jnp.asarray(b))
+        in_scale = (1.0 / QMAX) if i == 0 else amax[i - 1] / QMAX
+        mults.append(jnp.asarray(sw * in_scale, jnp.float32))
+        if w.shape[0] != prev_w:  # skip-concat layer
+            mult_skip = jnp.asarray(sw * (1.0 / QMAX), jnp.float32)
+        if i < nl - 1:
+            inv_next[i] = QMAX / amax[i]
+        prev_w = w.shape[1]
+    if mult_skip is None:
+        mult_skip = jnp.zeros_like(mults[0])
+
+    mean = meta.mean.copy()
+    return QuantNifParams(
+        kernels=tuple(kernels),
+        biases=tuple(biases),
+        mults=tuple(mults),
+        mult_skip=mult_skip,
+        inv_next=jnp.asarray(inv_next),
+        max=jnp.float32(meta.max),
+        mean=jnp.asarray(mean, jnp.float32),
+        log_tone_map=jnp.asarray(meta.log_tone_map),
+    )
+
+
+def quant_layer_t(x, feats, w_t, bias_c, mult_c, mult_skip_c, inv_next,
+                  is_last: bool, is_skip: bool):
+    """One int8 Dense stage, feature-major ((in, B) activations, (out,
+    in) weights) - shared VERBATIM by the XLA twin below and the Pallas
+    kernels, so the two paths are bitwise-identical by construction.
+
+    ``x`` int8 (in, B); ``feats`` int8 (4E, B) for the skip dot;
+    weight/bias/multiplier refs are already sliced to this layer.
+    Returns f32 (out, B) for the head, int8 for hidden layers.
+    """
+    dn = (((1,), (0,)), ((), ()))
+    if is_skip:
+        trunk = w_t.shape[1] - feats.shape[0]
+        acc = jax.lax.dot_general(w_t[:, :trunk], x, dn,
+                                  preferred_element_type=jnp.int32)
+        accf = jax.lax.dot_general(w_t[:, trunk:], feats, dn,
+                                   preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * mult_c
+             + accf.astype(jnp.float32) * mult_skip_c + bias_c)
+    else:
+        acc = jax.lax.dot_general(w_t, x, dn,
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * mult_c + bias_c
+    if is_last:
+        return y
+    y = jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y * inv_next), -QMAX, QMAX).astype(jnp.int8)
+
+
+def quant_mlp_t(params: QuantNifParams, u, v):
+    """Encode -> int8 chain -> f32 head output, feature-major.
+
+    Uses the kernels' double-angle encode (nif_encode) so the int8
+    feature quantisation - and therefore every integer in the chain -
+    matches the fused kernels bitwise.  Returns (3, B) f32 in network
+    channel order, BEFORE decode.
+    """
+    from ..ops.nif_pallas import nif_encode
+
+    feats_f = nif_encode(u, v, params.embedding_dim, jnp.float32)
+    feats = jnp.clip(jnp.round(feats_f * QMAX), -QMAX, QMAX).astype(jnp.int8)
+    skip = params.skip_layer
+    nl = len(params.kernels)
+    x = feats
+    for i in range(nl):
+        x = quant_layer_t(
+            x, feats, params.kernels[i].T,
+            params.biases[i][:, None], params.mults[i][:, None],
+            params.mult_skip[:, None], params.inv_next[i],
+            is_last=i == nl - 1, is_skip=i == skip,
+        )
+    return x
+
+
+def nif_apply_quant(params: QuantNifParams, u, v) -> jnp.ndarray:
+    """Quantised drop-in for models.nif.nif_apply -> (P, 3) f32 decoded
+    radiance in network channel order."""
+    y = quant_mlp_t(params, u, v).T  # (P, 3)
+    y = y * params.max + params.mean
+    return jnp.where(params.log_tone_map, jnp.exp(y), y)

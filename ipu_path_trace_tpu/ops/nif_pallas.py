@@ -146,10 +146,120 @@ def _mlp_core(num_layers: int, embedding_dim: int, u, v, scal_ref,
     return nif_decode(x, scal_ref)
 
 
+# ------------------------------------------------------------------------
+# int8 chain (models/quant.py): the MXU's double-rate mode
+# ------------------------------------------------------------------------
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _zpad_rows(x, rows: int):
+    """Zero-pad the leading (feature) axis - exact for the integer dots
+    (padded weight columns are zero too)."""
+    if x.shape[0] >= rows:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((rows - x.shape[0], x.shape[1]), x.dtype)], axis=0)
+
+
+def pack_quant_operands(qparams):
+    """Trace-time device operands for the int8 kernels.
+
+    Pads every contraction dim to the MXU's int8 sublane tile (32) and
+    the head's output to the i32 result tile (8) - zero padding, so the
+    integer accumulators are unchanged and the padded chain is bitwise
+    the unpadded XLA twin (models/quant.nif_apply_quant) on the same
+    quantised features (tests/test_quant.py).
+    Returns (kernels_t, biases_c, mults_c, mult_skip_c, skip_layer).
+    Weights come out feature-major (out, in_pad) with the skip layer's
+    trunk and feature column groups padded SEPARATELY (the kernel runs
+    them as two dots, models/quant.py docstring).
+    """
+    nl = len(qparams.kernels)
+    skip = qparams.skip_layer
+    feat_rows = 4 * qparams.embedding_dim
+    feat_pad = _rup(feat_rows, 32)
+    ws, bs, ms = [], [], []
+    for i, w in enumerate(qparams.kernels):  # w: int8 (in, out)
+        wt = w.T  # (out, in)
+        out_w, in_w = wt.shape
+        if i == skip:
+            trunk = in_w - feat_rows
+            wt = jnp.concatenate(
+                [
+                    jnp.pad(wt[:, :trunk], ((0, 0), (0, _rup(trunk, 32) - trunk))),
+                    jnp.pad(wt[:, trunk:], ((0, 0), (0, feat_pad - feat_rows))),
+                ],
+                axis=1,
+            )
+        else:
+            wt = jnp.pad(wt, ((0, 0), (0, _rup(in_w, 32) - in_w)))
+        b = qparams.biases[i].reshape(-1, 1)
+        m = qparams.mults[i].reshape(-1, 1)
+        if i == nl - 1 and out_w % 8:
+            pad = _rup(out_w, 8) - out_w
+            wt = jnp.pad(wt, ((0, pad), (0, 0)))
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+            m = jnp.pad(m, ((0, pad), (0, 0)))
+        ws.append(wt)
+        bs.append(b)
+        ms.append(m)
+    mskip = qparams.mult_skip.reshape(-1, 1)
+    return ws, bs, ms, mskip, skip
+
+
+def _pack_scal_q(qparams, azimuth=None) -> jnp.ndarray:
+    """(1, 8 + L) SMEM row: the bf16 decode scalars followed by the
+    per-layer requant steps inv_next[i] = 127/a_i (models/quant.py)."""
+    head = _pack_scal(qparams, azimuth)  # reads max/mean/log flag fields
+    return jnp.concatenate(
+        [head, qparams.inv_next.astype(jnp.float32).reshape(1, -1)], axis=1)
+
+
+def _quant_mlp_core(num_layers: int, embedding_dim: int, skip_layer: int,
+                    u, v, scal_ref, w_refs, b_refs, m_refs, mskip_ref):
+    """int8 encode -> chain -> f32 decode, feature-major; returns (3, B).
+
+    The arithmetic is models/quant.quant_layer_t verbatim, on operands
+    padded by pack_quant_operands - integer dots over zero padding are
+    exact, so given the same int8 features the result is BITWISE the
+    XLA twin's (tests/test_quant.py pins the packed chain).  End to end
+    the paths differ only through the compile-context-sensitive f32
+    encode (models/quant.py docstring), so the kernel-vs-twin test is
+    tolerance-based like the bf16 one.  Decode stays f32 like the bf16
+    path (NifModel.cpp:221-245).
+    """
+    from ..models.quant import QMAX, quant_layer_t
+
+    feats_f = nif_encode(u, v, embedding_dim, jnp.float32)
+    feats = jnp.clip(jnp.round(feats_f * QMAX), -QMAX, QMAX).astype(jnp.int8)
+    feats = _zpad_rows(feats, w_refs[0].shape[1])
+    x = feats
+    for i in range(num_layers):
+        w = w_refs[i][:]
+        rows = (w.shape[1] - feats.shape[0]) if i == skip_layer else w.shape[1]
+        x = quant_layer_t(
+            _zpad_rows(x, rows), feats, w, b_refs[i][:], m_refs[i][:],
+            mskip_ref[:], scal_ref[0, 8 + i],
+            is_last=i == num_layers - 1, is_skip=i == skip_layer,
+        )
+    return nif_decode(x[:3], scal_ref)
+
+
 def _kernel(num_layers: int, embedding_dim: int, upcast_dot: bool,
-            u_ref, v_ref, scal_ref, *refs):
+            skip_layer: int, u_ref, v_ref, scal_ref, *refs):
     w_refs = refs[:num_layers]          # (out, in) each
     b_refs = refs[num_layers : 2 * num_layers]  # (out, 1) each
+    if len(refs) > 2 * num_layers + 1:  # quant: + mults, mult_skip
+        m_refs = refs[2 * num_layers : 3 * num_layers]
+        mskip_ref = refs[3 * num_layers]
+        out_ref = refs[3 * num_layers + 1]
+        out_ref[:] = _quant_mlp_core(
+            num_layers, embedding_dim, skip_layer, u_ref[:], v_ref[:],
+            scal_ref, w_refs, b_refs, m_refs, mskip_ref,
+        )
+        return
     out_ref = refs[2 * num_layers]      # (3, B)
     out_ref[:] = _mlp_core(
         num_layers, embedding_dim, u_ref[:], v_ref[:], scal_ref, w_refs,
@@ -201,8 +311,11 @@ def nif_apply_pallas_t(
     Channel-major output so the hot path (escaped-ray shading) consumes
     rows directly with zero transposes.
     """
+    from ..models.quant import QuantNifParams
+
     p = u.shape[0]
     num_layers = len(params.kernels)
+    quant = isinstance(params, QuantNifParams)
     pad = (-p) % block_size
     if pad:
         u = jnp.pad(u, (0, pad))
@@ -212,10 +325,17 @@ def nif_apply_pallas_t(
 
     # Feature-major weight/bias layout (transposed once at trace time;
     # ~1 MB, fused away by XLA after the first call).
-    kernels_t = [w.T for w in params.kernels]
-    biases_c = [b.reshape(-1, 1) for b in params.biases]
-
-    scal = _pack_scal(params)
+    if quant:
+        kernels_t, biases_c, mults_c, mskip_c, skip_layer = (
+            pack_quant_operands(params))
+        scal = _pack_scal_q(params)
+        tail = mults_c + [mskip_c]
+    else:
+        kernels_t = [w.T for w in params.kernels]
+        biases_c = [b.reshape(-1, 1) for b in params.biases]
+        scal = _pack_scal(params)
+        tail = []
+        skip_layer = -1
 
     uv_spec = pl.BlockSpec((block_size,), lambda i: (i,), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(
@@ -224,15 +344,17 @@ def nif_apply_pallas_t(
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_layers, params.embedding_dim,
-                          interpret),
+                          interpret, skip_layer),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         grid=grid,
         in_specs=[
             uv_spec,
             uv_spec,
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(scal.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             *[full(w) for w in kernels_t],
             *[full(b) for b in biases_c],
+            *[full(m) for m in tail],
         ],
         out_specs=pl.BlockSpec(
             (3, block_size), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -242,7 +364,7 @@ def nif_apply_pallas_t(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(u, v, scal, *kernels_t, *biases_c)
+    )(u, v, scal, *kernels_t, *biases_c, *tail)
     return out[:, :p]
 
 

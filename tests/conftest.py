@@ -88,6 +88,11 @@ QUICK_TESTS = {
     ("test_nif_train.py", "test_encode_decode_inverse"),
     ("test_nif_train.py", "test_uv_grid_matches_reference"),
     ("test_nif_train.py", "test_reconstruct_batch_serialisation"),
+    # int8 quantization: PTQ scales, tile-padding exactness, kernel parity
+    ("test_quant.py", "test_quantize_shapes_and_scales"),
+    ("test_quant.py", "test_packed_chain_bitwise_vs_twin"),
+    ("test_quant.py", "test_pallas_kernel_matches_twin"),
+    ("test_quant.py", "test_quant_tracks_f32"),
     # saved-model converter
     ("test_convert.py", "test_snappy_decompress_with_copies"),
     ("test_convert.py", "test_read_tensor_bundle_roundtrip"),
