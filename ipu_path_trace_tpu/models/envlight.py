@@ -40,9 +40,23 @@ class TextureEnv(NamedTuple):
 
 
 class NifEnv(NamedTuple):
-    """Neural Image Field environment light (weights as a pytree)."""
+    """Neural Image Field environment light (weights as a pytree).
+
+    ``params`` is a NifParams (bf16/f32 chain) or a QuantNifParams
+    (models/quant.py int8 chain, --nif-precision int8); every consumer
+    dispatches on the pytree type.
+    """
 
     params: NifParams
+
+
+def _nif_apply_xla(params, u, v):
+    """XLA (non-Pallas) NIF evaluation, dispatched on the param type."""
+    from .quant import QuantNifParams, nif_apply_quant
+
+    if isinstance(params, QuantNifParams):
+        return nif_apply_quant(params, u, v)
+    return nif_apply(params, u, v)
 
 
 def _pallas_available() -> bool:
@@ -69,12 +83,13 @@ def eval_env(env, u: jnp.ndarray, v: jnp.ndarray, use_pallas: bool = True) -> Ve
         # rgb) exactly as PostProcessEscapedRays (codelets.cpp:377-378).
         if use_pallas and _pallas_available():
             # Fused VMEM-resident kernel; channel-major output feeds the
-            # Vec3 rows with zero transposes (ops/nif_pallas.py).
+            # Vec3 rows with zero transposes (ops/nif_pallas.py).  The
+            # kernel dispatches on the param type (bf16 vs int8 chain).
             from ..ops.nif_pallas import nif_apply_pallas_t
 
             out_t = nif_apply_pallas_t(env.params, u, v)  # (3, P)
             return Vec3(out_t[2], out_t[1], out_t[0])
-        out = nif_apply(env.params, u, v)  # (P, 3)
+        out = _nif_apply_xla(env.params, u, v)  # (P, 3)
         return Vec3(out[:, 2], out[:, 1], out[:, 0])
     raise TypeError(f"Unknown environment light type: {type(env)!r}")
 
@@ -119,7 +134,7 @@ def bake_nif_env(
     rows_per_chunk = max(1, max_batch_size // width)
     cols_v = jnp.tile(jnp.linspace(0.0, 1.0, width), rows_per_chunk)
     out_np = np.empty((height, width, 3), np.float32)
-    apply_xla = jax.jit(nif_apply)
+    apply_xla = jax.jit(_nif_apply_xla)
     for r0 in range(0, height, rows_per_chunk):
         r1 = min(r0 + rows_per_chunk, height)
         rows_u = jnp.repeat(

@@ -122,13 +122,15 @@ def calibration_features(embedding_dim: int, grid=(256, 512)) -> np.ndarray:
 
 
 def quantize_nif(
-    weights: NifWeights, meta: NifMetaData, grid=(256, 512)
+    weights: NifWeights, meta: NifMetaData, grid=(256, 512), amax=None
 ) -> QuantNifParams:
     """PTQ a loaded NIF: per-channel int8 weights + lattice-calibrated
     activation scales (module docstring).  ~1 s on the host for the
-    canonical 6x320."""
-    feats = calibration_features(meta.embedding_dimension, grid)
-    amax = _f32_chain_activations(weights, feats)
+    canonical 6x320.  QAT'd nets pass the ``amax`` their fine-tune
+    trained against (qat_finetune) so inference reuses those grids."""
+    if amax is None:
+        feats = calibration_features(meta.embedding_dimension, grid)
+        amax = _f32_chain_activations(weights, feats)
 
     kernels, biases, mults = [], [], []
     mult_skip = None
@@ -226,3 +228,140 @@ def nif_apply_quant(params: QuantNifParams, u, v) -> jnp.ndarray:
     y = quant_mlp_t(params, u, v).T  # (P, 3)
     y = y * params.max + params.mean
     return jnp.where(params.log_tone_map, jnp.exp(y), y)
+
+
+# ------------------------------------------------------------------------
+# Quantisation-aware fine-tuning (QAT)
+# ------------------------------------------------------------------------
+#
+# PTQ alone fails the on-class ship gate (27.69 dB vs the canonical's
+# 36.30, docs/QUANT.json "quality"): the pretrained weights were never
+# asked to be robust to the int8 grids.  QAT re-fits them THROUGH the
+# exact inference quantiser with straight-through-estimator gradients,
+# so the optimiser absorbs the representable-grid error back into the
+# fit.  Activation grids stay FIXED at the pretrained calibration - the
+# same amax is then handed to quantize_nif, so training and inference
+# quantise identically by construction.
+
+
+def _ste(x, q):
+    """Straight-through estimator: forward q(x), gradient of identity."""
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def fake_quant_apply(params, feats, skip_layer, amax):
+    """Training-layout forward ((B, in) batch-major like the trainer's
+    _mlp_apply, train_nif.py:67-75) with every inference quantisation
+    point fake-quantised under STE:
+
+    * features snapped to the constant 1/127 grid,
+    * weights per-output-channel symmetric int8 (scales recomputed from
+      the LIVE weights each step, so the gradient shapes the scales),
+    * post-ReLU activations on the fixed calibrated per-layer grids.
+
+    ``params`` is a list of (w, b) jnp arrays; ``amax`` a static tuple
+    of per-hidden-layer floats.  The head's output stays f32, exactly
+    like the kernels (decode never touches int8).
+    """
+    feats = _ste(feats, jnp.round(jnp.clip(feats, -1, 1) * QMAX) / QMAX)
+    x = feats
+    nl = len(params)
+    for i, (w, b) in enumerate(params):
+        sw = jnp.maximum(jnp.abs(jax.lax.stop_gradient(w)).max(axis=0),
+                         1e-12) / QMAX
+        wq = _ste(w, jnp.clip(jnp.round(w / sw), -QMAX, QMAX) * sw)
+        if skip_layer is not None and i == skip_layer:
+            x = jnp.concatenate([x, feats], axis=-1)
+        x = x @ wq + b
+        if i != nl - 1:
+            x = jax.nn.relu(x)
+            step = amax[i] / QMAX
+            x = _ste(x, jnp.clip(jnp.round(x / step), 0, QMAX) * step)
+    return x
+
+
+def qat_finetune(
+    weights: NifWeights,
+    meta: NifMetaData,
+    image: np.ndarray,
+    *,
+    epochs: int = 2000,
+    batch_size: int = 16384,
+    train_samples: int | None = None,
+    learning_rate: float = 2e-4,
+    calib_grid=(256, 512),
+    seed: int = 0,
+):
+    """Fine-tune a trained NIF through the int8 fake-quant forward.
+
+    Same data pipeline and loss as the trainer (train_nif.train_nif),
+    started from the trained weights with a cosine-decayed low lr.
+    Returns (new NifWeights, amax tuple, final_loss); pass the SAME
+    amax to quantize_nif so inference uses the grids training saw.
+    """
+    import optax
+
+    from .nif import fourier_features
+    from .train_nif import encode_targets
+
+    amax = tuple(_f32_chain_activations(
+        weights, calibration_features(meta.embedding_dimension, calib_grid)))
+
+    h, w = image.shape[:2]
+    targets, _, _ = encode_targets(image, meta.eps, meta.log_tone_map)
+    targets_flat = jnp.asarray(targets.reshape(-1, 3))
+    rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    uv = jnp.asarray(np.stack(
+        [rows.ravel() / h, cols.ravel() / w], axis=1).astype(np.float32))
+    n = uv.shape[0]
+    train_samples = train_samples or n
+
+    skip = None
+    prev = weights.layers[0].kernel.shape[0]
+    for i, l in enumerate(weights.layers[1:], start=1):
+        if l.kernel.shape[0] != prev:
+            skip = i
+        prev = l.kernel.shape[1]
+
+    params = [
+        (jnp.asarray(l.kernel, jnp.float32),
+         jnp.asarray(l.bias if l.bias is not None
+                     else np.zeros(l.kernel.shape[1]), jnp.float32))
+        for l in weights.layers
+    ]
+    steps_per_epoch = max(1, train_samples // batch_size)
+    lr = optax.cosine_decay_schedule(
+        learning_rate, epochs * steps_per_epoch, alpha=0.01)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, uv_batch, y_batch):
+        feats = fourier_features(uv_batch[:, 0], uv_batch[:, 1],
+                                 meta.embedding_dimension)
+        pred = fake_quant_apply(params, feats, skip, amax)
+        return jnp.mean((pred - y_batch) ** 2)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        idx = jax.random.randint(key, (batch_size,), 0, n)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, uv[idx], targets_flat[idx])
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.key(seed)
+    loss = float("nan")
+    for _ in range(epochs):
+        for _ in range(steps_per_epoch):
+            key, sk = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, sk)
+
+    from .nif import NifLayer
+
+    new_layers = [
+        NifLayer(name=l.name, kernel=np.asarray(wgt, np.float32),
+                 bias=np.asarray(b, np.float32), activation=l.activation,
+                 dtype=l.dtype)
+        for l, (wgt, b) in zip(weights.layers, params)
+    ]
+    return NifWeights(new_layers), amax, float(loss)

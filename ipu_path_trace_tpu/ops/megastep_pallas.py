@@ -106,7 +106,8 @@ def _stub_bounce(sph_ref, dsc_ref, num_s, num_d, st, rr, u1, u2, fr, b,
 
 def _env_contrib(ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs,
                  embedding_dim: int, upcast_dot: bool = False,
-                 layer_fn=nif_layer, env_skip: bool = False):
+                 layer_fn=nif_layer, env_skip: bool = False,
+                 quant_refs=None):
     """Escaped-ray env shade: equirect -> NIF chain -> weighted rgb.
 
     Dead-block env-skip (env_skip=True): when EVERY lane's escape
@@ -135,12 +136,26 @@ def _env_contrib(ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs,
     def full_chain(ops):
         ex_, ey_, ez_, wx_, wy_, wz_ = ops
         u, v = equirect_from_dir(ex_, ey_, ez_, scal_ref[0, 5])
-        feats = nif_encode(u, v, embedding_dim, w_refs[0].dtype)
-        x = feats
-        for i in range(num_layers):
-            x = layer_fn(x, feats, w_refs[i], b_refs[i],
-                         i == num_layers - 1, upcast_dot)
-        out = nif_decode(x, scal_ref)  # (3, B), network (bgr) order
+        if quant_refs is not None and layer_fn is nif_layer:
+            # int8 chain (--nif-precision int8): ops/nif_pallas quant
+            # core on operands packed by pack_quant_operands.
+            from .nif_pallas import _quant_mlp_core
+
+            m_refs, mskip_ref, skip_layer = quant_refs
+            out = _quant_mlp_core(num_layers, embedding_dim, skip_layer,
+                                  u, v, scal_ref, w_refs, b_refs, m_refs,
+                                  mskip_ref)
+        else:
+            # Stubbed chains (devtime split) keep f32 feature shapes even
+            # over int8 weight refs - timing scaffolding, not semantics.
+            dtype = (jnp.float32 if quant_refs is not None
+                     else w_refs[0].dtype)
+            feats = nif_encode(u, v, embedding_dim, dtype)
+            x = feats
+            for i in range(num_layers):
+                x = layer_fn(x, feats, w_refs[i], b_refs[i],
+                             i == num_layers - 1, upcast_dot)
+            out = nif_decode(x[:3], scal_ref)  # (3, B), network (bgr) order
         # bgr -> rgb flip + throughput weights (codelets.cpp:377-378):
         return wx_ * out[2], wy_ * out[1], wz_ * out[0]
 
@@ -173,19 +188,27 @@ def _kernel(
     has_budgets: bool,  # per-block sample budgets (render/adaptive.py)
     with_stats: bool,  # accumulate per-record lum^2 second moments
     env_skip: bool,  # dead-block env-skip (_env_contrib)
+    quant: bool,  # int8 NIF chain (QuantNifParams operands)
+    skip_layer: int,  # quant only: skip-concat layer index (-1 = none)
     # refs:
     fpar_ref,  # SMEM (1, 8) f32
     ipar_ref,  # SMEM (1, 8) i32: roulette_depth seed0 seed1 n_samples sobol_key
-    scal_ref,  # SMEM (1, 8) f32 NIF decode scalars + azimuth
+    scal_ref,  # SMEM (1, 8[+L]) f32 NIF decode scalars (+ quant requant steps)
     sph_ref,
     dsc_ref,
     cols_ref,  # VMEM (B,)
     rows_ref,
-    *refs,  # w*num_layers, b*num_layers, [budget], [pid/base], [noise], outputs
+    *refs,  # w*num_layers, b*num_layers, [mults, mult_skip], [budget],
+    #         [pid/base], [noise], outputs
 ):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
     rest = list(refs[2 * num_layers :])
+    quant_refs = None
+    if quant:
+        m_refs = tuple(rest[:num_layers])
+        del rest[:num_layers]
+        quant_refs = (m_refs, rest.pop(0), skip_layer)
     bud_ref = rest.pop(0) if has_budgets else None
     pid_ref = base_ref = None
     if sobol_dims:
@@ -282,7 +305,7 @@ def _kernel(
         # blocked the dead-block early-out below.
         cr, cg, cb = _env_contrib(
             ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
-            upcast_dot, layer_fn, env_skip,
+            upcast_dot, layer_fn, env_skip, quant_refs,
         )
 
         def bounce_rnd(b):
@@ -389,7 +412,7 @@ def _kernel(
     # Epilogue: the LAST sample's escaped rays still need their env light.
     cr, cg, cb = _env_contrib(
         ex, ey, ez, wx, wy, wz, scal_ref, w_refs, b_refs, embedding_dim,
-        upcast_dot, layer_fn, env_skip,
+        upcast_dot, layer_fn, env_skip, quant_refs,
     )
     acc_ref[:] = jnp.stack([ar + cr, ag + cg, ab + cb], axis=0)
     plen_ref[:] = apl.reshape(1, n)
@@ -489,10 +512,13 @@ def render_megastep_pallas(
         raise ValueError(
             f"budgets shape {budgets.shape} != one per grid block ({grid[0]},)")
 
+    from ..models.quant import QuantNifParams
+
     num_s = scene.num_spheres
     num_d = scene.disc_radius.shape[0]
     sph, dsc = pack_scene(scene)
     num_layers = len(params.kernels)
+    quant = isinstance(params, QuantNifParams)
 
     half_fov = settings.fov * 0.5
     fpar = jnp.stack(
@@ -528,11 +554,20 @@ def render_megastep_pallas(
             zero_i,
         ]
     ).reshape(1, 8)
-    scal = _pack_scal(params, settings.azimuth)
-
     # Feature-major weights (transposed once; XLA folds it after call 1):
-    kernels_t = [w.T for w in params.kernels]
-    biases_c = [b.reshape(-1, 1) for b in params.biases]
+    if quant:
+        from .nif_pallas import _pack_scal_q, pack_quant_operands
+
+        kernels_t, biases_c, mults_c, mskip_c, skip_layer = (
+            pack_quant_operands(params))
+        scal = _pack_scal_q(params, settings.azimuth)
+        tail = mults_c + [mskip_c]
+    else:
+        kernels_t = [w.T for w in params.kernels]
+        biases_c = [b.reshape(-1, 1) for b in params.biases]
+        scal = _pack_scal(params, settings.azimuth)
+        tail = []
+        skip_layer = -1
 
     smem = lambda a: pl.BlockSpec(
         a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.SMEM
@@ -549,8 +584,10 @@ def render_megastep_pallas(
         smem(fpar), smem(ipar), smem(scal), smem(sph), smem(dsc), vec, vec,
         *[full(w) for w in kernels_t],
         *[full(b) for b in biases_c],
+        *[full(m) for m in tail],
     ]
-    inputs = [fpar, ipar, scal, sph, dsc, cols, rows, *kernels_t, *biases_c]
+    inputs = [fpar, ipar, scal, sph, dsc, cols, rows, *kernels_t, *biases_c,
+              *tail]
     if budgets is not None:
         # Full (G, 1) table in SMEM, indexed by program_id in-kernel:
         bud2 = budgets.astype(jnp.int32).reshape(-1, 1)
@@ -582,7 +619,7 @@ def render_megastep_pallas(
             _kernel, num_s, num_d, max_path_length, num_layers,
             params.embedding_dim, width, height, aa_noise_type, host_samples,
             sobol_dims, interpret, split_point, stub, budgets is not None,
-            with_stats, env_skip,
+            with_stats, env_skip, quant, skip_layer,
         ),
         out_shape=tuple(out_shape),
         grid=grid,

@@ -268,7 +268,7 @@ def _kernel(num_layers: int, embedding_dim: int, upcast_dot: bool,
 
 
 def _env_shade_kernel(num_layers: int, embedding_dim: int, upcast_dot: bool,
-                      escd_ref, escw_ref, scal_ref, *refs):
+                      skip_layer: int, escd_ref, escw_ref, scal_ref, *refs):
     """Equirect UV from escaped-ray directions -> NIF -> apply weights.
 
     Fuses PreProcessEscapedRays + the NIF + PostProcessEscapedRays
@@ -279,16 +279,26 @@ def _env_shade_kernel(num_layers: int, embedding_dim: int, upcast_dot: bool,
     to avoid FP garbage (codelets.cpp:348-352).  Output is the radiance
     contribution esc_w * env_rgb with the bgr->rgb flip applied
     (codelets.cpp:377-378), so row 0 is already R.
+
+    With quant operands (the extra mults/mult_skip refs) the chain runs
+    the int8 path (_quant_mlp_core) instead of the bf16 one.
     """
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers : 2 * num_layers]
-    out_ref = refs[2 * num_layers]  # (3, B) radiance contribution, RGB
 
     u, v = equirect_from_dir(
         escd_ref[0, :], escd_ref[1, :], escd_ref[2, :], scal_ref[0, 5]
     )
-    out = _mlp_core(num_layers, embedding_dim, u, v, scal_ref, w_refs,
-                    b_refs, upcast_dot)
+    if len(refs) > 2 * num_layers + 1:  # quant: + mults, mult_skip
+        m_refs = refs[2 * num_layers : 3 * num_layers]
+        mskip_ref = refs[3 * num_layers]
+        out_ref = refs[3 * num_layers + 1]
+        out = _quant_mlp_core(num_layers, embedding_dim, skip_layer, u, v,
+                              scal_ref, w_refs, b_refs, m_refs, mskip_ref)
+    else:
+        out_ref = refs[2 * num_layers]  # (3, B) radiance contribution, RGB
+        out = _mlp_core(num_layers, embedding_dim, u, v, scal_ref, w_refs,
+                        b_refs, upcast_dot)
     # bgr -> rgb + throughput weights (esc_w rows are zero unless escaped):
     out_ref[:] = jnp.stack(
         [escw_ref[0, :] * out[2], escw_ref[1, :] * out[1], escw_ref[2, :] * out[0]],
@@ -396,6 +406,7 @@ def nif_env_shade_pallas(
     flip -> esc_w multiply in the hot path (see _env_shade_kernel).
     """
     from ..core.vecmath import Vec3
+    from ..models.quant import QuantNifParams
 
     p = esc_dir.x.shape[0]
     num_layers = len(params.kernels)
@@ -408,9 +419,17 @@ def nif_env_shade_pallas(
     n = p + pad
     grid = (n // block_size,)
 
-    kernels_t = [w.T for w in params.kernels]
-    biases_c = [b.reshape(-1, 1) for b in params.biases]
-    scal = _pack_scal(params, azimuth)
+    if isinstance(params, QuantNifParams):
+        kernels_t, biases_c, mults_c, mskip_c, skip_layer = (
+            pack_quant_operands(params))
+        scal = _pack_scal_q(params, azimuth)
+        tail = mults_c + [mskip_c]
+    else:
+        kernels_t = [w.T for w in params.kernels]
+        biases_c = [b.reshape(-1, 1) for b in params.biases]
+        scal = _pack_scal(params, azimuth)
+        tail = []
+        skip_layer = -1
 
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i: tuple([0] * a.ndim), memory_space=pltpu.VMEM
@@ -419,15 +438,17 @@ def nif_env_shade_pallas(
 
     out = pl.pallas_call(
         functools.partial(_env_shade_kernel, num_layers,
-                          params.embedding_dim, interpret),
+                          params.embedding_dim, interpret, skip_layer),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         grid=grid,
         in_specs=[
             rows3,
             rows3,
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(scal.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             *[full(w) for w in kernels_t],
             *[full(b) for b in biases_c],
+            *[full(m) for m in tail],
         ],
         out_specs=rows3,
         # Independent grid blocks - megacore TPUs may parallelise them:
@@ -435,5 +456,5 @@ def nif_env_shade_pallas(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(escd, escw, scal, *kernels_t, *biases_c)
+    )(escd, escw, scal, *kernels_t, *biases_c, *tail)
     return Vec3(out[0, :p], out[1, :p], out[2, :p])

@@ -19,6 +19,7 @@ host->device transfer, the jitted step, and device->host readback.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -107,13 +108,20 @@ def _device_preview_denoised(work, perm, exposure, gamma,
     return jnp.clip(jnp.rint(ldr * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 
-def parse_env_assets(assets: str, partials_type: str = "half"):
+def parse_env_assets(assets: str, partials_type: str = "half",
+                     nif_precision: str = "auto"):
     """Build the environment light from the --assets argument.
 
     - 'constant:R,G,B'   uniform radiance
     - 'texture:<file>'   equirect HDR texture (EXR or anything imageio reads)
     - '<dir>'            NIF assets dir: nif_metadata.txt + converted.hdf5
                          (loadNifModels, PathTracerApp.cpp:106-123)
+
+    ``nif_precision='int8'`` (--nif-precision) quantises the loaded NIF
+    for the MXU's double-rate int8 chain (models/quant.py).  A QAT'd
+    asset's quant_amax.json sidecar (scripts/quant_qat.py) supplies the
+    activation grids its fine-tune trained against; without one the
+    grids are lattice-calibrated at load (~1 s).
     """
     if assets.startswith("constant:"):
         rgb = [float(x) for x in assets.split(":", 1)[1].split(",")]
@@ -127,6 +135,22 @@ def parse_env_assets(assets: str, partials_type: str = "half"):
         return TextureEnv(texture=jnp.asarray(img, jnp.float32)), None
     dtype = jnp.bfloat16 if partials_type == "half" else jnp.float32
     params, meta, weights = load_nif_assets(assets, dtype)
+    if nif_precision == "int8":
+        from ..models.quant import quantize_nif
+
+        amax = None
+        sidecar = os.path.join(assets, "quant_amax.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                amax = [float(a) for a in json.load(f)["amax"]]
+            logger().info("int8 NIF: using QAT activation grids from %s",
+                          sidecar)
+        else:
+            logger().info("int8 NIF: no quant_amax.json sidecar - lattice-"
+                          "calibrating (PTQ; prefer a QAT'd asset, "
+                          "scripts/quant_qat.py)")
+        qparams = quantize_nif(weights, meta, amax=amax)
+        return NifEnv(params=qparams), (meta, weights)
     return NifEnv(params=params), (meta, weights)
 
 
@@ -205,7 +229,8 @@ class PathTracerApp:
         """(Re)load the environment light; returns False on failure
         (loadNifModels semantics, PathTracerApp.cpp:106-123)."""
         try:
-            self.env, self.nif_info = parse_env_assets(assets, self.cfg.partials_type)
+            self.env, self.nif_info = parse_env_assets(
+                assets, self.cfg.partials_type, self.cfg.nif_precision)
         except Exception as e:
             logger().error("Could not load NIF model from '%s'. Exception: %s", assets, e)
             return False

@@ -123,6 +123,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "(reference semantics); baked: decode the NIF once "
                           "to an equirect texture and use bilinear lookups "
                           "(TPU-first; much faster, azimuth needs no re-bake).")
+    tpu.add_argument("--nif-precision", default="auto",
+                     choices=["auto", "int8"],
+                     help="NIF chain arithmetic: auto follows "
+                          "--partials-type; int8 quantises the chain onto "
+                          "the MXU's double-rate int8 mode (1.6x measured; "
+                          "quality gated on on-class PSNR, docs/QUANT.json - "
+                          "prefer QAT'd assets with a quant_amax.json).")
     tpu.add_argument("--scene", default="",
                      help="JSON scene description (spheres/discs with colour, "
                           "emission, material); default: the reference's "
@@ -254,6 +261,7 @@ def parse_config(argv=None) -> Config:
         cache_dir=args.cache_dir,
         rng_impl=args.rng_impl,
         nif_mode=args.nif_mode,
+        nif_precision=args.nif_precision,
         profile_dir=args.profile_dir,
         device_timing=args.device_timing,
         env_skip=args.env_skip,

@@ -73,6 +73,12 @@ class Config:
     # NIF once to an equirect texture and serve lookups (TPU-first; HBM is
     # plentiful, unlike IPU SRAM where compressing the HDRI was the point).
     nif_mode: str = "fused"  # fused | baked
+    # NIF chain arithmetic: "auto" follows --partials-type (bf16/f32);
+    # "int8" runs the quantised chain (models/quant.py) on the MXU's
+    # double-rate int8 mode - 1.6x measured, gated on on-class PSNR
+    # (docs/QUANT.json).  QAT'd assets ship a quant_amax.json sidecar
+    # with the activation grids their fine-tune trained against.
+    nif_precision: str = "auto"  # auto | int8
     profile_dir: str = ""  # XLA profiler trace dir (PVTI analog); "" = off
     device_timing: bool = False  # log the trace/NIF device-time split
     # Dead-block env-skip: elide the NIF matmul chain for kernel blocks

@@ -44,10 +44,15 @@ SYNTH = "synth:urban-alley:2048x4096:seed7"
 
 def reconstruct_quant(qparams, h: int, w: int, max_batch: int) -> np.ndarray:
     """Batched full-frame reconstruction with the int8 chain (the quant
-    twin of models.reconstruct.reconstruct_image)."""
-    uu = (np.arange(h, dtype=np.float32) + 0.5) / h
-    vv = (np.arange(w, dtype=np.float32) + 0.5) / w
-    u, v = [g.reshape(-1) for g in np.meshgrid(uu, vv, indexing="ij")]
+    twin of models.reconstruct.reconstruct_image).
+
+    Uses reconstruct's uv_grid (u = k/H): the TRAINING lattice.  A
+    half-pixel-offset centre convention here once under-read the int8
+    PSNR by ~8 dB (even unquantised f32 reads 28.0 dB off-lattice vs
+    36.3 on it) - alignment, not quantisation, dominated the gate."""
+    from ipu_path_trace_tpu.models.reconstruct import uv_grid
+
+    u, v = uv_grid(h, w)
     out = np.empty((h * w, 3), np.float32)
     apply_fn = jax.jit(nif_apply_quant)
     for lo in range(0, h * w, max_batch):

@@ -160,6 +160,233 @@ def test_quant_tracks_f32(small_nif, small_quant):
     assert rel.max() < 0.35
 
 
+@pytest.mark.quick
+def test_fake_quant_matches_int_chain(small_nif):
+    """The QAT fake-quant forward (models/quant.fake_quant_apply) must
+    BE the inference quantiser: evaluated (no gradient) with the same
+    activation grids, it matches the integer chain to f32-rounding of
+    the factored-out scales (the integer sums themselves are exact in
+    f32 below 2^24)."""
+    from ipu_path_trace_tpu.models.nif import fourier_features
+    from ipu_path_trace_tpu.models.quant import fake_quant_apply
+
+    weights, meta = small_nif
+    amax = None
+    from ipu_path_trace_tpu.models.quant import (
+        _f32_chain_activations,
+        calibration_features,
+    )
+    amax = tuple(_f32_chain_activations(
+        weights, calibration_features(meta.embedding_dimension, (64, 128))))
+    qp = quantize_nif(weights, meta, amax=amax)
+
+    u, v = _uv(600, seed=21)
+    params = [
+        (jnp.asarray(l.kernel, jnp.float32),
+         jnp.asarray(l.bias, jnp.float32))
+        for l in weights.layers
+    ]
+    feats = fourier_features(u, v, meta.embedding_dimension)
+    fq = np.asarray(fake_quant_apply(params, feats, 2, amax))  # (P, 3)
+    twin = np.asarray(quant_mlp_t(qp, u, v)).T  # pre-decode (P, 3)
+    # fourier_features (direct sin) vs the kernels' double-angle encode
+    # differ by up to ~0.005 - below one int8 step (1/127) but enough to
+    # flip the round() on a sliver of features.  On rows where the two
+    # encodes quantise identically the chains agree to f32 rounding of
+    # the factored-out scales; overall the flips stay rare.
+    from ipu_path_trace_tpu.ops.nif_pallas import nif_encode
+
+    f_kern = np.asarray(
+        nif_encode(u, v, meta.embedding_dimension, jnp.float32)).T
+    q_train = np.clip(np.round(np.asarray(feats) * 127), -127, 127)
+    q_kern = np.clip(np.round(f_kern * 127), -127, 127)
+    same = (q_train == q_kern).all(axis=1)
+    assert same.mean() > 0.8
+    np.testing.assert_allclose(fq[same], twin[same],
+                               rtol=1e-5, atol=1e-5 * np.abs(twin).max())
+    rel = np.abs(fq - twin) / (np.abs(twin) + 1e-2 * np.abs(twin).max())
+    assert np.median(rel) < 1e-3
+
+
+def test_qat_finetune_smoke(small_nif):
+    """A short QAT run returns same-shaped weights, finite loss, the
+    calibration grids it trained against, and moves the weights."""
+    from ipu_path_trace_tpu.models.quant import qat_finetune
+    from ipu_path_trace_tpu.models.synth_env import resolve_synth
+
+    weights, meta = small_nif
+    img = resolve_synth("synth:urban-alley:64x128:seed3")
+    new_w, amax, loss = qat_finetune(
+        weights, meta, img, epochs=2, batch_size=2048,
+        train_samples=4096, calib_grid=(32, 64), seed=5)
+    assert np.isfinite(loss)
+    assert len(amax) == len(weights.layers) - 1 and all(a > 0 for a in amax)
+    for old, new in zip(weights.layers, new_w.layers):
+        assert new.kernel.shape == old.kernel.shape
+        assert not np.array_equal(new.kernel, old.kernel)
+    # The fine-tuned net still quantises through the same pipeline.
+    qp = quantize_nif(new_w, meta, amax=amax)
+    u, v = _uv(128, seed=1)
+    assert np.isfinite(np.asarray(nif_apply_quant(qp, u, v))).all()
+
+
+@pytest.mark.quick
+def test_env_shade_pallas_quant(small_nif, small_quant):
+    """Fused escape-shade kernel (equirect -> int8 NIF -> weights) vs
+    the XLA quant twin on random escape directions."""
+    from ipu_path_trace_tpu.core.vecmath import Vec3
+    from ipu_path_trace_tpu.ops.nif_pallas import nif_env_shade_pallas
+
+    qp = small_quant
+    rng = np.random.default_rng(33)
+    p = 700
+    d = rng.normal(size=(3, p)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    wgt = rng.uniform(0, 1, size=(3, p)).astype(np.float32)
+    esc_dir = Vec3(*(jnp.asarray(r) for r in d))
+    esc_w = Vec3(*(jnp.asarray(r) for r in wgt))
+    az = jnp.float32(0.7)
+
+    got = nif_env_shade_pallas(qp, esc_dir, esc_w, az,
+                               block_size=256, interpret=True)
+    # Twin uses the KERNEL's equirect (ops/nif_pallas.equirect_from_dir):
+    # core/envmap.equirect_uv agrees only to ~6e-7, and int8 feature
+    # rounding amplifies that into whole-step flips on a few lanes.
+    from ipu_path_trace_tpu.ops.nif_pallas import equirect_from_dir
+
+    u, v = equirect_from_dir(esc_dir.x, esc_dir.y, esc_dir.z, az)
+    env = np.asarray(nif_apply_quant(qp, u, v))  # (P, 3) bgr
+    ref = np.stack([wgt[0] * env[:, 2], wgt[1] * env[:, 1],
+                    wgt[2] * env[:, 0]])
+    out = np.stack([np.asarray(got.x), np.asarray(got.y), np.asarray(got.z)])
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-2 * np.abs(ref).max())
+    # The kernel computes its equirect INSIDE the fused compile context;
+    # 1-ulp polynomial differences flip an int8 feature step on ~0.4% of
+    # lanes, and a random He-init net amplifies a flipped input feature
+    # to ~0.2 relative.  Bound the flip FREQUENCY, not the worst lane.
+    assert np.median(rel) < 1e-3
+    assert (rel > 1e-2).mean() < 0.01
+    assert rel.max() < 0.5
+
+
+def test_megastep_quant_matches_xla_chain(small_nif, small_quant):
+    """The fused megastep with QuantNifParams (--nif-precision int8)
+    against the XLA chain evaluating the SAME int8 net - host-noise +
+    interpret mode, mirroring test_megastep.test_megastep_matches_xla_chain."""
+    from ipu_path_trace_tpu.core.records import make_worklist
+    from ipu_path_trace_tpu.core.scene import default_scene
+    from ipu_path_trace_tpu.ops.megastep_pallas import render_megastep_pallas
+    from ipu_path_trace_tpu.render.params import RenderSettings, StaticConfig
+    from ipu_path_trace_tpu.render.wavefront import trace_sample_with_uniforms
+
+    W = H = 24
+    SAMPLES, MAXLEN = 2, 4
+    qp = small_quant
+    scene = default_scene()
+    cfg = StaticConfig(width=W, height=H, max_path_length=MAXLEN)
+    settings = RenderSettings.make(samples_per_step=SAMPLES)
+    work = make_worklist(W, H)
+    cols = jnp.asarray(work["u"], jnp.float32)
+    rows = jnp.asarray(work["v"], jnp.float32)
+    rng = np.random.default_rng(7)
+    p = cols.shape[0]
+    noise = rng.uniform(0, 1, size=(SAMPLES, 4 + 4 * MAXLEN, p)).astype(np.float32)
+    noise[:, 0:2] = rng.normal(size=(SAMPLES, 2, p))
+
+    rad = np.zeros((3, p), np.float32)
+    plen = np.zeros(p, np.int64)
+    for s in range(SAMPLES):
+        st = trace_sample_with_uniforms(
+            scene, settings, cfg, cols, rows,
+            jnp.asarray(noise[s, 0:2]), jnp.asarray(noise[s, 2:4]),
+            jnp.asarray(noise[s, 4:].reshape(MAXLEN, 4, p)),
+        )
+        # Kernel-matching equirect (see test_env_shade_pallas_quant):
+        from ipu_path_trace_tpu.ops.nif_pallas import equirect_from_dir
+
+        u, v = equirect_from_dir(st.esc_dir.x, st.esc_dir.y, st.esc_dir.z,
+                                 settings.azimuth)
+        u = jnp.where(st.escaped, u, 0.0)
+        v = jnp.where(st.escaped, v, 0.0)
+        out = np.asarray(nif_apply_quant(qp, u, v))  # (P, 3) bgr
+        rad[0] += np.asarray(st.radiance.x) + np.asarray(st.esc_w.x) * out[:, 2]
+        rad[1] += np.asarray(st.radiance.y) + np.asarray(st.esc_w.y) * out[:, 1]
+        rad[2] += np.asarray(st.radiance.z) + np.asarray(st.esc_w.z) * out[:, 0]
+        plen += np.asarray(st.path_len, np.int64)
+
+    out = render_megastep_pallas(
+        scene, settings, qp, cols, rows, noise=jnp.asarray(noise),
+        width=W, height=H, max_path_length=MAXLEN,
+        aa_noise_type=cfg.aa_noise_type, block_size=256, interpret=True,
+    )
+    got = np.stack([np.asarray(out.radiance.x), np.asarray(out.radiance.y),
+                    np.asarray(out.radiance.z)])
+    flipped = np.asarray(out.path_len) != plen
+    assert flipped.mean() < 5e-3, f"{flipped.sum()} flipped lanes"
+    ok = ~flipped
+    scale = np.abs(rad).max()
+    rel = (np.abs(got - rad) / (np.abs(rad) + 1e-2 * scale))[:, ok]
+    assert np.median(rel) < 5e-3
+    assert rel.max() < 8e-2
+
+
+@pytest.mark.quick
+def test_app_nif_precision_int8(tmp_path):
+    """--nif-precision int8 end-to-end: the app loads the asset into a
+    QuantNifParams env (honouring a QAT quant_amax.json sidecar) and a
+    step produces finite radiance."""
+    import json as _json
+    import os
+
+    from ipu_path_trace_tpu.models.quant import QuantNifParams
+    from ipu_path_trace_tpu.models.train_nif import save_assets
+    from ipu_path_trace_tpu.runtime.app import PathTracerApp
+    from ipu_path_trace_tpu.runtime.config import Config
+
+    weights, meta = make_synthetic_nif(key=3, hidden=32, num_hidden=2,
+                                       skip_layer=1)
+    assets = str(tmp_path / "nif_assets")
+    save_assets(assets, weights, meta, ["synthetic"])
+    amax = [2.5, 1.25]
+    with open(os.path.join(assets, "quant_amax.json"), "w") as f:
+        _json.dump({"amax": amax, "calibration_grid": "32x64"}, f)
+
+    cfg = Config(
+        outfile=str(tmp_path / "int8.png"), assets=assets,
+        width=32, height=16, samples=2, samples_per_step=2,
+        save_interval=1, seed=5, max_path_length=3,
+        pallas_interpret=2, nif_precision="int8",
+    )
+    cfg.validate()
+    app = PathTracerApp(cfg)
+    app.init()
+    assert isinstance(app.env.params, QuantNifParams)
+    # The sidecar grids, not a fresh calibration, set the requant steps:
+    np.testing.assert_allclose(
+        np.asarray(app.env.params.inv_next)[:-1],
+        [127.0 / a for a in amax], rtol=1e-6)
+    app.build()
+    app.execute()
+    hdr = app.film.hdr_at_step(1)
+    assert np.isfinite(hdr).all()
+    assert (hdr >= 0).all()
+
+
+@pytest.mark.quick
+def test_cli_nif_precision_flag(tmp_path):
+    """--nif-precision parses and lands in Config; bad values rejected."""
+    from ipu_path_trace_tpu.runtime.cli import parse_config
+
+    argv = ["--assets", "a", "--outfile", str(tmp_path / "o.png"),
+            "--nif-precision", "int8"]
+    cfg = parse_config(argv)
+    assert cfg.nif_precision == "int8"
+    cfg = parse_config(argv[:-2] + ["--nif-precision", "auto"])
+    assert cfg.nif_precision == "auto"
+    with pytest.raises(SystemExit):
+        parse_config(argv[:-1] + ["fp4"])
+
+
 def test_calibration_covers_domain(small_nif):
     """Activation scales from the UV lattice bound the activations seen
     on random UVs: requantisation never saturates more than the odd
