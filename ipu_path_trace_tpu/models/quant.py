@@ -88,22 +88,39 @@ class QuantNifParams(NamedTuple):
         return -1
 
 
-def _f32_chain_activations(weights: NifWeights, feats: np.ndarray):
-    """Host f32 forward over (P, 4E) features; returns the per-hidden-
-    layer post-ReLU output absmax (the activation calibration)."""
-    x = feats
-    amax = []
-    for i, l in enumerate(weights.layers):
-        if x.shape[-1] != l.kernel.shape[0]:
-            x = np.concatenate([x, feats], axis=-1)
-        y = x @ l.kernel.astype(np.float32)
-        if l.bias is not None:
-            y = y + l.bias.astype(np.float32)
-        if i < len(weights.layers) - 1:
-            y = np.maximum(y, 0.0)
-            amax.append(max(1e-6, float(np.abs(y).max())))
-        x = y
-    return amax
+def _f32_chain_activations(weights: NifWeights, feats: np.ndarray,
+                           chunk: int = 1 << 15):
+    """f32 forward over (P, 4E) features; returns the per-hidden-layer
+    post-ReLU output absmax (the activation calibration).  Jitted and
+    chunked so a reference-scale calibration lattice takes ~1 s on the
+    attached device instead of minutes of single-threaded NumPy."""
+    params = [
+        (jnp.asarray(l.kernel, jnp.float32),
+         jnp.asarray(l.bias if l.bias is not None
+                     else np.zeros(l.kernel.shape[1]), jnp.float32))
+        for l in weights.layers
+    ]
+
+    @jax.jit
+    def chunk_amax(f):
+        x = f
+        out = []
+        for i, (w, b) in enumerate(params):
+            if x.shape[-1] != w.shape[0]:
+                x = jnp.concatenate([x, f], axis=-1)
+            y = x @ w + b
+            if i < len(params) - 1:
+                y = jnp.maximum(y, 0.0)
+                out.append(jnp.abs(y).max())
+            x = y
+        return jnp.stack(out)
+
+    n = feats.shape[0]
+    amax = np.zeros((len(params) - 1,), np.float64)
+    for lo in range(0, n, chunk):
+        f = jnp.asarray(feats[lo : lo + chunk], jnp.float32)
+        amax = np.maximum(amax, np.asarray(chunk_amax(f), np.float64))
+    return [max(1e-6, float(a)) for a in amax]
 
 
 def calibration_features(embedding_dim: int, grid=(256, 512)) -> np.ndarray:
@@ -275,8 +292,11 @@ def fake_quant_apply(params, feats, skip_layer, amax):
         x = x @ wq + b
         if i != nl - 1:
             x = jax.nn.relu(x)
-            step = amax[i] / QMAX
-            x = _ste(x, jnp.clip(jnp.round(x / step), 0, QMAX) * step)
+            # Same round form as inference (x * inv_next, models/quant
+            # quant_layer_t): x/step rounds DIFFERENTLY at ties in f32.
+            inv = jnp.float32(QMAX / amax[i])
+            step = jnp.float32(amax[i] / QMAX)
+            x = _ste(x, jnp.clip(jnp.round(x * inv), 0, QMAX) * step)
     return x
 
 
