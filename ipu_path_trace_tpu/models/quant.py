@@ -19,10 +19,18 @@ Scheme (all symmetric, zero-point 0):
 * **Fourier features**: exactly in [-1, 1], so their scale is the
   CONSTANT 1/127 - no calibration, and the skip-concat rows keep full
   precision relative to their range.
-* **Hidden activations**: post-ReLU (>= 0), per-layer static scales
-  a_i/127 from a calibration pass over a uniform UV lattice (the NIF's
-  whole input domain - unlike generic nets its input distribution is
-  KNOWN, so lattice calibration is exhaustive, not a sample).
+* **Hidden activations**: post-ReLU (>= 0), per-layer static grids
+  from a calibration pass over a uniform UV lattice (the NIF's whole
+  input domain - unlike generic nets its input distribution is KNOWN,
+  so lattice calibration is exhaustive, not a sample).  The grid is
+  ASYMMETRIC with a fixed zero point of -128: a ReLU output lives in
+  [0, a_i], so a symmetric grid would waste the sign bit (7 effective
+  bits); mapping [0, a_i] onto the full [-128, 127] doubles activation
+  resolution (+6 dB on the activation-quantisation noise floor).  The
+  zero point folds EXACTLY into the next layer's bias - for
+  x ~= (q + 128) * s the dot contributes s*128*sum_i w[:, i], a
+  per-output-channel constant - so the kernels pay nothing: the only
+  arithmetic change is the requant's -128 shift.
 * **Skip layer**: runs as TWO dots (trunk columns x activation scale,
   feature columns x 1/127) so each operand keeps its own scale; the
   total contraction width is unchanged, so MXU cost is identical.
@@ -51,7 +59,9 @@ import jax.numpy as jnp
 
 from .nif import NifMetaData, NifWeights
 
-QMAX = 127.0
+QMAX = 127.0  # symmetric grid: weights and Fourier features
+AQMAX = 255.0  # asymmetric activation grid: [0, a_i] -> [-128, 127]
+ZP = 128.0  # activation zero point (folded into the next bias)
 
 
 class QuantNifParams(NamedTuple):
@@ -59,17 +69,19 @@ class QuantNifParams(NamedTuple):
 
     Layer i computes  acc = dot(int8 w_i, int8 x_i)  (i32), then
     y = acc * mults[i] + biases[i]  (f32), ReLU, and requantises with
-    x_{i+1} = clip(round(y * inv_next[i])).  The skip layer adds
+    x_{i+1} = clip(round(y * inv_next[i]) - 128) onto the asymmetric
+    [-128, 127] grid (the +128 zero point is pre-folded into
+    biases[i+1], module docstring).  The skip layer adds
     accf * mult_skip for its feature columns.  Shapes are the REAL
     model shapes; kernels pad contraction dims to the MXU's int8 tile
     at trace time (zero columns = exact).
     """
 
     kernels: tuple  # int8 (in, out) per layer (feature cols last at skip)
-    biases: tuple  # f32 (out,) per layer
+    biases: tuple  # f32 (out,) per layer (zero-point fold included)
     mults: tuple  # f32 (out,) per layer: sw[oc] * (input scale)
     mult_skip: Any  # f32 (out,) skip layer's feature-dot multiplier
-    inv_next: Any  # f32 (L,) requant steps 127/a_i (last entry unused, 1)
+    inv_next: Any  # f32 (L,) requant steps 255/a_i (last entry unused, 1)
     max: Any  # () f32 decode scalars, as NifParams
     mean: Any  # (3,) f32
     log_tone_map: Any  # () bool_
@@ -161,13 +173,23 @@ def quantize_nif(
         kernels.append(jnp.asarray(q))
         b = (l.bias if l.bias is not None
              else np.zeros(w.shape[1])).astype(np.float32)
-        biases.append(jnp.asarray(b))
-        in_scale = (1.0 / QMAX) if i == 0 else amax[i - 1] / QMAX
-        mults.append(jnp.asarray(sw * in_scale, jnp.float32))
+        in_scale = (1.0 / QMAX) if i == 0 else amax[i - 1] / AQMAX
+        mult = (sw * in_scale).astype(np.float32)
+        mults.append(jnp.asarray(mult))
         if w.shape[0] != prev_w:  # skip-concat layer
             mult_skip = jnp.asarray(sw * (1.0 / QMAX), jnp.float32)
+        if i > 0:
+            # Zero-point fold: the asymmetric input dequantises as
+            # (q + 128) * s, so the dot owes mult * 128 * colsum of the
+            # int8 trunk rows (feature rows at the skip layer carry the
+            # symmetric grid, zero point 0 - excluded).  Padded rows are
+            # zero weights, so padding stays exact.
+            trunk = prev_w  # rows fed by the hidden activation
+            ksum = q[:trunk, :].astype(np.float32).sum(axis=0)
+            b = b + mult * np.float32(ZP) * ksum
+        biases.append(jnp.asarray(b))
         if i < nl - 1:
-            inv_next[i] = QMAX / amax[i]
+            inv_next[i] = AQMAX / amax[i]
         prev_w = w.shape[1]
     if mult_skip is None:
         mult_skip = jnp.zeros_like(mults[0])
@@ -211,7 +233,10 @@ def quant_layer_t(x, feats, w_t, bias_c, mult_c, mult_skip_c, inv_next,
     if is_last:
         return y
     y = jnp.maximum(y, 0.0)
-    return jnp.clip(jnp.round(y * inv_next), -QMAX, QMAX).astype(jnp.int8)
+    # Asymmetric requant: [0, a_i] onto the full [-128, 127] (the +128
+    # zero point is pre-folded into the NEXT layer's bias).
+    return jnp.clip(jnp.round(y * inv_next) - ZP, -128.0, 127.0).astype(
+        jnp.int8)
 
 
 def quant_mlp_t(params: QuantNifParams, u, v):
@@ -294,9 +319,11 @@ def fake_quant_apply(params, feats, skip_layer, amax):
             x = jax.nn.relu(x)
             # Same round form as inference (x * inv_next, models/quant
             # quant_layer_t): x/step rounds DIFFERENTLY at ties in f32.
-            inv = jnp.float32(QMAX / amax[i])
-            step = jnp.float32(amax[i] / QMAX)
-            x = _ste(x, jnp.clip(jnp.round(x * inv), 0, QMAX) * step)
+            # Asymmetric grid: 256 levels over [0, a_i] (quant_layer_t's
+            # requant minus its bias-folded zero point).
+            inv = jnp.float32(AQMAX / amax[i])
+            step = jnp.float32(amax[i] / AQMAX)
+            x = _ste(x, jnp.clip(jnp.round(x * inv), 0, AQMAX) * step)
     return x
 
 

@@ -17,15 +17,24 @@ Two TPU-specific design choices (both measured, each ~2x on v5e):
   Fourier features uses only ``embedding_dim`` (=12) of 128 lanes.
   Weights are therefore fed pre-transposed ``(out, in)``.
 
-* **Double-angle recurrence for the Fourier encoder.**  The reference
-  encodes ``[sin(u 2^j), sin(v 2^j), cos(u 2^j), cos(v 2^j)]`` for
-  j < embedding_dim (NifModel.cpp:185-218).  Evaluating those 4E
-  transcendentals per sample dominated the fused kernel (~45% of
-  runtime), so we evaluate sin/cos once at j=0 and produce the rest
-  with ``sin 2x = 2 sin x cos x``, ``cos 2x = 1 - 2 sin^2 x`` - 4
-  transcendentals + a few FMAs per sample, all on full-width (B,)
-  vectors.  Max observed deviation vs. the direct encode is ~1e-3
-  relative, below the bfloat16 quantisation of the weights themselves.
+* **Re-seeded double-angle recurrence for the Fourier encoder.**  The
+  reference encodes ``[sin(u 2^j), sin(v 2^j), cos(u 2^j), cos(v 2^j)]``
+  for j < embedding_dim (NifModel.cpp:185-218).  Evaluating those 4E
+  full-range transcendentals per sample dominated the fused kernel
+  (~45% of runtime), so octaves are produced by the recurrence
+  ``sin 2x = 2 sin x cos x``, ``cos 2x = 1 - 2 sin^2 x`` - but the
+  recurrence alone drifts ~2^j ulps (the doubling map is chaotic), and
+  on reference-class high-frequency content that COHERENT top-octave
+  phase error measured a 6.8 dB reconstruction loss vs the direct
+  encode the net was trained with (docs/QUANT.json "encode_ab"; the
+  incoherent bf16 feature rounding of 4x the magnitude costs < 0.5 dB).
+  So every _SEED_STRIDE-th octave is re-seeded exactly: the angle
+  ``theta_j = 2^j * 2(u-1)`` is EXACT in f32 (power-of-two scaling),
+  a 3-term Cody-Waite reduction brings it into [-pi, pi] losslessly
+  (the split constants sum to 2pi exactly in double), and sin/cos of
+  the reduced residue seed the next group.  Error is bounded at
+  ~2^(_SEED_STRIDE-1) ulp instead of 2^E, for 3x the trig of the pure
+  recurrence - still far below the direct encode's 4E full-range calls.
 
 Weights (~1 MB bf16 for the canonical 6x320 NIF) are broadcast to every
 grid step and stay VMEM-resident (constant index map).
@@ -61,24 +70,52 @@ def _pack_scal(params: NifParams, azimuth=None) -> jnp.ndarray:
     ).reshape(1, 8)
 
 
+# 3-term Cody-Waite split of 2*pi: _P1 + _P2 + _P3 == 2*pi exactly in
+# double, _P1/_P2 carry few mantissa bits so k*_P1 / k*_P2 are exact in
+# f32 for the k <= ~2^11 this encode produces (E <= 16).
+_P1 = 6.28125
+_P2 = 0.0019352436065673828
+_P3 = 6.357301884918343e-08
+_INV_2PI = 0.15915494309189535
+_SEED_STRIDE = 4  # re-seed the double-angle recurrence every 4 octaves
+
+
+def _sincos_reduced(x, j: int):
+    """Exact-seeded sin/cos of 2^j * x: the f32 angle is exact (power-of
+    -two scale of an exact operand), Cody-Waite reduces it into
+    [-pi, pi] with no precision loss, and the transcendentals run on
+    the reduced residue (Mosaic-safe small-argument range)."""
+    theta = x * float(2 ** j)
+    k = jnp.round(theta * _INV_2PI)
+    r = ((theta - k * _P1) - k * _P2) - k * _P3
+    return jnp.sin(r), jnp.cos(r)
+
+
 def nif_encode(u, v, embedding_dim: int, compute_dtype):
     """Fourier features (NifModel.cpp:185-218) -> (4E, B).
 
     uv' = 2(uv - 1), rows [sin(u 2^j) | sin(v 2^j) | cos(u 2^j) |
-    cos(v 2^j)] built by the double-angle recurrence (module docstring).
+    cos(v 2^j)] built by the re-seeded double-angle recurrence (module
+    docstring): octave j = 0, 4, 8, ... evaluated exactly via
+    _sincos_reduced, octaves in between by two FMAs each.
     """
-    uu = 2.0 * (u - 1.0)  # (B,)
+    uu = 2.0 * (u - 1.0)  # (B,) - exact: u in [0,1], Sterbenz + *2
     vv = 2.0 * (v - 1.0)
-    su, cu = jnp.sin(uu), jnp.cos(uu)
-    sv, cv = jnp.sin(vv), jnp.cos(vv)
-    sus, cus, svs, cvs = [su], [cu], [sv], [cv]
-    for _ in range(embedding_dim - 1):
-        s, c = sus[-1], cus[-1]
-        sus.append(2.0 * s * c)
-        cus.append(1.0 - 2.0 * s * s)
-        s, c = svs[-1], cvs[-1]
-        svs.append(2.0 * s * c)
-        cvs.append(1.0 - 2.0 * s * s)
+
+    def octaves(x):
+        ss, cc = [], []
+        for j in range(embedding_dim):
+            if j % _SEED_STRIDE == 0:
+                s, c = _sincos_reduced(x, j)
+            else:
+                s, c = ss[-1], cc[-1]
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            ss.append(s)
+            cc.append(c)
+        return ss, cc
+
+    sus, cus = octaves(uu)
+    svs, cvs = octaves(vv)
     return jnp.stack(sus + svs + cus + cvs, axis=0).astype(compute_dtype)
 
 
@@ -211,7 +248,7 @@ def pack_quant_operands(qparams):
 
 def _pack_scal_q(qparams, azimuth=None) -> jnp.ndarray:
     """(1, 8 + L) SMEM row: the bf16 decode scalars followed by the
-    per-layer requant steps inv_next[i] = 127/a_i (models/quant.py)."""
+    per-layer requant steps inv_next[i] = 255/a_i (models/quant.py)."""
     head = _pack_scal(qparams, azimuth)  # reads max/mean/log flag fields
     return jnp.concatenate(
         [head, qparams.inv_next.astype(jnp.float32).reshape(1, -1)], axis=1)

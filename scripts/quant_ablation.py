@@ -37,6 +37,7 @@ sys.path.insert(0, REPO)
 
 from ipu_path_trace_tpu.models.nif import load_nif_assets  # noqa: E402
 from ipu_path_trace_tpu.models.quant import (  # noqa: E402
+    AQMAX,
     QMAX,
     _f32_chain_activations,
     calibration_features,
@@ -71,8 +72,10 @@ def selective_apply(weights, meta, u, v, *, q_feats, q_weights, q_acts, amax):
         if i < nl - 1:
             y = jnp.maximum(y, 0.0)
             if q_acts:
-                step = amax[i] / QMAX
-                y = jnp.clip(jnp.round(y / step), 0, QMAX) * step
+                # Asymmetric inference grid: 256 levels over [0, a_i]
+                # (models/quant.py quant_layer_t requant + bias fold).
+                step = amax[i] / AQMAX
+                y = jnp.clip(jnp.round(y / step), 0, AQMAX) * step
         x = y
     y = x * meta.max + jnp.asarray(meta.mean, jnp.float32)
     return jnp.exp(y) if meta.log_tone_map else y

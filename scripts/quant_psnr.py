@@ -49,7 +49,12 @@ def reconstruct_quant(qparams, h: int, w: int, max_batch: int) -> np.ndarray:
     Uses reconstruct's uv_grid (u = k/H): the TRAINING lattice.  A
     half-pixel-offset centre convention here once under-read the int8
     PSNR by ~8 dB (even unquantised f32 reads 28.0 dB off-lattice vs
-    36.3 on it) - alignment, not quantisation, dominated the gate."""
+    36.3 on it) - alignment, not quantisation, dominated the gate.
+    Applies reconstruct_image's bgr->rgb flip so the result compares
+    channel-consistently against the rgb ground truth: until r5 this
+    was missing, and the bgr-vs-rgb comparison charged ~6.5 dB of pure
+    channel permutation to the int8 chain (every path scored through
+    this helper read ~29 dB regardless of arithmetic)."""
     from ipu_path_trace_tpu.models.reconstruct import uv_grid
 
     u, v = uv_grid(h, w)
@@ -59,7 +64,7 @@ def reconstruct_quant(qparams, h: int, w: int, max_batch: int) -> np.ndarray:
         sl = slice(lo, min(lo + max_batch, h * w))
         out[sl] = np.asarray(apply_fn(qparams, jnp.asarray(u[sl]),
                                       jnp.asarray(v[sl])))
-    return out.reshape(h, w, 3)
+    return out.reshape(h, w, 3)[..., ::-1].copy()
 
 
 def main():

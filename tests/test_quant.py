@@ -368,10 +368,11 @@ def test_app_nif_precision_int8(tmp_path):
     app = PathTracerApp(cfg)
     app.init()
     assert isinstance(app.env.params, QuantNifParams)
-    # The sidecar grids, not a fresh calibration, set the requant steps:
+    # The sidecar grids, not a fresh calibration, set the requant steps
+    # (asymmetric activation grid: 255/a, models/quant.py):
     np.testing.assert_allclose(
         np.asarray(app.env.params.inv_next)[:-1],
-        [127.0 / a for a in amax], rtol=1e-6)
+        [255.0 / a for a in amax], rtol=1e-6)
     app.build()
     app.execute()
     hdr = app.film.hdr_at_step(1)
